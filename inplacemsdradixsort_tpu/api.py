@@ -1,0 +1,118 @@
+"""Public API — the TPU analog of the reference library entry points.
+
+Reference surface (/root/reference/include/msb_64.h:37-41):
+
+    void sort(uint64_t **keys, uint64_t **rids, uint64_t *size,
+              int threads, int numa, double fudge,
+              char **description, uint64_t *times);
+    uint64_t check(uint64_t **keys, uint64_t **rids, uint64_t *size,
+                   int numa, int same);
+    void *mamalloc(size_t size);
+
+Here:
+
+    sort(keys, rids=None, config=..., timing=False)
+        -> SortResult(keys, rids, times)           # single chip
+    check(keys, rids=None, same=False)  -> checksum  (utils.checking)
+    mamalloc(n, dtype, fudge)           -> padded device buffer
+
+``threads``/``numa`` have no meaning on a single chip; their role (the
+two-level parallel topology) is played by the device mesh in
+``parallel.dsort.distributed_sort``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, SortConfig
+from .ops import planner, xla_engine
+from .utils.checking import check  # re-exported
+from .utils.timing import PhaseTimer, PHASE_LABELS
+
+
+@dataclasses.dataclass
+class SortResult:
+    keys: jax.Array
+    rids: Optional[jax.Array]
+    times: List[Tuple[str, float]]          # the 10-row phase report
+
+    def pretty_times(self) -> str:
+        out = [f"{'phase':<14}{'seconds':>12}"]
+        for lbl, t in self.times:
+            out.append(f"{lbl:<14}{t:>12.6f}")
+        return "\n".join(out)
+
+
+def mamalloc(n: int, dtype=jnp.uint32, fudge: float = 1.0) -> jax.Array:
+    """Padded, lane-aligned device buffer (reference mamalloc analog,
+    msb_64.c:111-115 — 64-byte alignment becomes 128-lane row alignment)."""
+    lanes = DEFAULT_CONFIG.lanes
+    cap = int(np.ceil(n * fudge / lanes)) * lanes
+    return jnp.zeros((cap,), dtype=dtype)
+
+
+def _select_engine(cfg: SortConfig) -> str:
+    if cfg.engine != "auto":
+        return cfg.engine
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def sort(
+    keys: jax.Array,
+    rids: Optional[jax.Array] = None,
+    config: SortConfig = DEFAULT_CONFIG,
+    timing: bool = False,
+) -> SortResult:
+    """Sort ``keys`` (optionally permuting ``rids`` along) on one chip.
+
+    - dtype uint32 or uint64 (the reference's key type, msb_64.h:37)
+    - ``rids`` any integer payload of the same length; sorted stably.
+    - ``timing=True`` runs phases as separate device calls and fills the
+      10-row report (msb_64.c:2384-2412 contract).
+    """
+    keys = jnp.asarray(keys)
+    n = keys.shape[0]
+    if rids is not None:
+        rids = jnp.asarray(rids)
+        assert rids.shape[0] == n
+    timer = PhaseTimer(enabled=timing)
+    engine = _select_engine(config)
+
+    if engine == "pallas":
+        from .ops import pallas_engine
+        out_k, out_r = pallas_engine.msd_sort(
+            keys, rids, config, timer=timer
+        )
+    else:
+        with timer.phase("local_sort"):
+            if rids is None:
+                out_k, out_r = xla_engine.sort_keys(keys), None
+            else:
+                out_k, out_r = xla_engine.sort_pairs(keys, rids)
+            timer.sync(out_k)
+
+    return SortResult(keys=out_k, rids=out_r, times=timer.report())
+
+
+def sort_with_indices(
+    keys: jax.Array, config: SortConfig = DEFAULT_CONFIG
+) -> Tuple[jax.Array, jax.Array]:
+    """Sorted keys + the stable sorting permutation (uint32 row ids).
+
+    The reference carries explicit rowid payloads (rids); generating the
+    identity payload here mirrors its benchmark setup where rids start as a
+    permutation to be dragged along.
+    """
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    res = sort(keys, idx, config=config)
+    return res.keys, res.rids

@@ -1,0 +1,69 @@
+"""Typed configuration for the TPU radix partition/sort engine.
+
+The reference exposes its tuning knobs as compile-time constants and the
+``sort()`` parameters ``threads, numa, fudge`` (reference:
+/root/reference/include/msb_64.h:37-39, /root/reference/src/msb_64.c:2266-2322).
+Here every knob is a field of one dataclass, with the reference values as
+defaults where they translate:
+
+- ``fudge``            <- reference ``fudge`` over-allocation multiplier
+                          (msb_64.c:1574-1578, 2170)
+- ``range_partitions`` <- ``range_partitions = 128`` (msb_64.c:2268); we default
+                          to 256 ranges per distribution level (one byte).
+- ``sample_rate`` / ``sample_cap`` <- 0.005 * N capped at 500k
+                          (msb_64.c:2320-2322)
+- ``block_cap``        <- 4096-tuple exchange blocks (msb_64.c:2314); on TPU the
+                          analogous unit is ``block_rows`` rows of 128 lanes.
+- ``vmem_sort_elems``  <- the ``cache_limit = 6500`` in-cache threshold of
+                          ``schedule_passes`` (msb_64.c:1338) becomes the
+                          largest chunk sorted entirely inside VMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Configuration for single-chip and distributed radix sort."""
+
+    # --- data layout ---
+    lanes: int = 128              # TPU lane count; last-dim tiling unit
+    tile_elems: int = 1 << 15     # elements per VMEM tile for tile-local sort
+    block_rows: int = 8           # rows per DMA chunk in the distribute kernel
+
+    # --- partitioning / planner ---
+    range_bits: int = 8           # log2(ranges) per distribution level
+    fudge: float = 1.125          # per-range over-allocation slack
+    sample_rate: float = 0.005    # sample fraction of N (msb_64.c:2320)
+    sample_cap: int = 500_000     # max sample size       (msb_64.c:2321-2322)
+    use_sample_splitters: bool = True   # hybrid sample+radix delimiters
+    vmem_sort_elems: int = 1 << 18      # bucket size sortable fully in VMEM
+
+    # --- engine selection ---
+    engine: str = "auto"          # "auto" | "pallas" | "xla"
+    interpret: bool = False       # run Pallas kernels in interpreter mode
+    debug_checks: bool = False    # in-situ invariant checks (#ifdef BG analog,
+                                  # msb_64.c:329-349, 474-495)
+
+    # --- distributed ---
+    mesh_axes: Tuple[str, ...] = ("shard",)
+    exchange_fudge: float = 2.0   # padding factor for the all-to-all exchange
+
+    def __post_init__(self):
+        assert self.tile_elems % self.lanes == 0
+        assert 1 <= self.range_bits <= 12
+        assert self.fudge >= 1.0
+
+    @property
+    def num_ranges(self) -> int:
+        return 1 << self.range_bits
+
+    @property
+    def tile_rows(self) -> int:
+        return self.tile_elems // self.lanes
+
+
+DEFAULT_CONFIG = SortConfig()
