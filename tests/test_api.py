@@ -26,7 +26,7 @@ def test_sort_keys_matches_numpy(name):
 
 def test_sort_u64():
     # true 64-bit keys (the reference's native type, msb_64.h:37) need x64
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         keys = jnp.asarray(
             np.random.default_rng(1).integers(
                 0, 1 << 64, 2000, dtype=np.uint64
