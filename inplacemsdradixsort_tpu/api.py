@@ -88,7 +88,7 @@ def sort(
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
 
-    if engine == "pallas":
+    if engine == "pallas" and keys.dtype == jnp.uint32:
         from .ops import pallas_engine
         out_k, out_r = pallas_engine.msd_sort(
             keys, rids, config, timer=timer
