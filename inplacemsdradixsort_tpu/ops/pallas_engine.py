@@ -101,7 +101,9 @@ def msd_sort(
     tr = cfg.tile_rows                     # tile rows
     t_elems = tr * LANES
     chr_rows = cfg.block_rows
-    vmax_rows = 4 * tr                     # largest in-VMEM sorted bucket
+    # largest in-VMEM sorted bucket: 8 tiles (2^18 elems at the default tile
+    # size) keys-only; halved for pairs to fit the value buffers in VMEM
+    vmax_rows = (8 if rids is None else 4) * tr
     rb_cfg = cfg.range_bits
     interp = cfg.interpret
 
@@ -139,9 +141,17 @@ def msd_sort(
     ]
 
     # ---------------- level loop
+    def _split_bits(b: _Bucket) -> int:
+        """Bits needed this level: split just enough to land children near
+        vmax/2 (the schedule_passes sizing rule, msb_64.c:1387-1395),
+        capped by the table width and remaining bits."""
+        pad_rows = int(_rows_per(b.slot_lens).sum())
+        need = max(1, math.ceil(math.log2(max(
+            2.0, pad_rows / (vmax_rows // 2)
+        ))))
+        return min(rb_cfg, b.bits_left, need)
+
     while any(b.kind == "split" for b in buckets):
-        rb = min(rb_cfg, max(b.bits_left for b in buckets
-                             if b.kind == "split"))
         r = 1 << rb_cfg                     # table width (fixed per config)
         ntiles = arena_rows // tr
 
@@ -159,7 +169,7 @@ def msd_sort(
                 used - np.arange(nt) * (tr * LANES), 0, tr * LANES
             )
             if b.kind == "split":
-                rbl = min(rb, b.bits_left)
+                rbl = _split_bits(b)
                 shift = b.bits_left - rbl
                 d = np.arange(1, (1 << rbl) + 1, dtype=np.uint64)
                 bb = np.uint64(b.prefix) + (d << np.uint64(shift)) - 1
@@ -190,7 +200,7 @@ def msd_sort(
                 nt = b.cap_rows // tr
                 tv = tile_valid[t0 : t0 + nt]
                 if b.kind == "split":
-                    rbl = min(rb, b.bits_left)
+                    rbl = _split_bits(b)
                     nr = 1 << rbl
                     c = cnt_np[t0 : t0 + nt, :nr].copy()
                     c[:, nr - 1] = tv               # host-exact last column

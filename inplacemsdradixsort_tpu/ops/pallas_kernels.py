@@ -55,6 +55,91 @@ def _digits(keys: jax.Array, shift, bits: int) -> jax.Array:
 
 # =========================================================== tile_sort
 
+@functools.lru_cache(maxsize=None)
+def _tile_sort_exe(rows: int, r: int, tile_rows: int, pairs: bool,
+                   interpret: bool):
+    ntiles = rows // tile_rows
+    tile_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        tile_spec,
+        tile_spec if pairs else pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES) if pairs else (1, LANES),
+                             jnp.int32),
+        jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32),
+    ]
+    out_specs = [
+        tile_spec,
+        tile_spec if pairs else pl.BlockSpec(
+            (1, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+
+    def _kernel(tbl_ref, key_ref, val_ref, ok_ref, ov_ref, cnt_ref,
+                smem_tbl, smem_cnt, tbl_sem):
+        t = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(8 * t, 8), :], smem_tbl, tbl_sem
+        )
+        cp.start()
+        cp.wait()
+        row_i = lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+        lane_i = lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+        flat = row_i * LANES + lane_i
+        live = flat < smem_tbl[r // LANES, r % LANES]
+        k = jnp.where(live, key_ref[:], SENT_KEY)
+        v = (jnp.where(live, val_ref[:], SENT_VAL)) if pairs else None
+        k, v = bitonic_sort(k, v)
+        ok_ref[:] = k
+        if pairs:
+            ov_ref[:] = v
+        else:
+            ov_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
+        for dd in range(r):
+            smem_cnt[dd // LANES, dd % LANES] = jnp.sum(
+                jnp.where(k <= smem_tbl[dd // LANES, dd % LANES], 1, 0),
+                dtype=jnp.int32,
+            )
+        ccp = pltpu.make_async_copy(
+            smem_cnt, cnt_ref.at[pl.ds(8 * t, 8), :], tbl_sem
+        )
+        ccp.start()
+        ccp.wait()
+
+    call = pl.pallas_call(
+        _kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((8, LANES), jnp.int32),
+            pltpu.SMEM((8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def f(bounds, data_elems, keys, vals):
+        tbl = jnp.concatenate(
+            [bounds, data_elems.astype(jnp.int32).reshape(-1, 1)], axis=1
+        )
+        tbl = jnp.pad(tbl, ((0, 0), (0, 8 * LANES - tbl.shape[1])))
+        tbl = tbl.reshape(ntiles * 8, LANES)
+        ok, ov, cnt = call(tbl, keys, vals)
+        cnt = cnt.reshape(ntiles, 8 * LANES)[:, :r]
+        return ok, ov, cnt
+
+    return jax.jit(f, donate_argnums=(2, 3) if pairs else (2,))
+
+
 def tile_sort(
     keys: jax.Array,
     vals: Optional[jax.Array],
@@ -69,83 +154,20 @@ def tile_sort(
     bounds: (ntiles, R) int32 biased inclusive upper bounds of each tile's
         first R digit ranges (host-computed: bucket prefix | digit bound —
         the per-range delimiter table of msb_64.c:1545-1564 localized per
-        tile).  Column R-1 is ignored by the caller (it uses the host-side
-        valid count), so bounds may contain anything there.
+        tile).  Column R-1 is overridden by the caller's valid count.
     data_elems: (ntiles,) int32 — meaningful elements at the head of each
-        tile; everything beyond is unwritten slack and is replaced with
-        sentinels before sorting/counting.
-    Returns (sorted keys, sorted vals, cnt_leq (ntiles, R)) with
-    cnt_leq[t, d] = #elements of tile t with key <= bounds[t, d].
-    Sentinels (key == SENT_KEY) exceed every bound d < R-1 by construction.
+        tile; everything beyond is unwritten slack, masked to sentinels.
+    Returns (sorted keys, sorted vals, cnt_leq (ntiles, R)).
     """
-    rows = keys.shape[0]
-    ntiles = rows // tile_rows
-    r = bounds.shape[1]
     pairs = vals is not None
-
-    tile_spec = pl.BlockSpec(
-        (tile_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    exe = _tile_sort_exe(
+        keys.shape[0], bounds.shape[1], tile_rows, pairs, interpret
     )
-    in_specs = [
-        pl.BlockSpec((1, r), lambda t: (t, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1,), lambda t: (t,), memory_space=pltpu.SMEM),
-        tile_spec,
-    ]
-    inputs = [bounds, data_elems.astype(jnp.int32), keys]
-    if pairs:
-        in_specs.append(tile_spec)
-        inputs.append(vals)
-    else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(jnp.zeros((1,), jnp.int32))  # dummy val ref
-
-    out_shape = [
-        jax.ShapeDtypeStruct(keys.shape, jnp.int32),
-        jax.ShapeDtypeStruct(keys.shape if pairs else (1, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((ntiles, r), jnp.int32),
-    ]
-    out_specs = [
-        tile_spec,
-        tile_spec if pairs else pl.BlockSpec(
-            (1, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec((1, r), lambda t: (t, 0), memory_space=pltpu.VMEM),
-    ]
-
-    def _kernel(bounds_ref, data_ref, key_ref, val_ref, ok_ref, ov_ref,
-                cnt_ref):
-        row_i = lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
-        lane_i = lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
-        flat = row_i * LANES + lane_i
-        live = flat < data_ref[0]
-        k = jnp.where(live, key_ref[:], SENT_KEY)
-        v = (jnp.where(live, val_ref[:], SENT_VAL)) if pairs else None
-        k, v = bitonic_sort(k, v)
-        ok_ref[:] = k
-        if pairs:
-            ov_ref[:] = v
-        else:
-            ov_ref[0, :] = jnp.zeros((LANES,), jnp.int32)
-        counts = []
-        for dd in range(r):
-            counts.append(
-                jnp.sum(
-                    jnp.where(k <= bounds_ref[0, dd], 1, 0),
-                    dtype=jnp.int32,
-                )
-            )
-        cnt_ref[0, :] = jnp.stack(counts)
-
-    out = pl.pallas_call(
-        _kernel,
-        grid=(ntiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*inputs)
-    ok, ov, cnt_leq = out
-    return ok, (ov if pairs else None), cnt_leq
+    ok, ov, cnt = exe(
+        bounds, data_elems,
+        keys, vals if pairs else jnp.zeros((1,), jnp.int32),
+    )
+    return ok, (ov if pairs else None), cnt
 
 
 # =========================================================== distribute
@@ -162,11 +184,16 @@ def _chunk_from(buf, base_row, phase, chr_rows):
 
 
 def _distribute_kernel(
-    slot_ref, rs_ref, rl_ref, key_ref, val_ref,
+    tbl_ref, key_ref, val_ref,
     out_key_ref, out_val_ref,
-    tilebuf, vtilebuf, kbuf, vbuf, sems,
+    smem_tbl, tbl_sem, tilebuf, vtilebuf, kbuf, vbuf, sems,
     *, num_ranges: int, tile_rows: int, chr_rows: int, pairs: bool
 ):
+    t = pl.program_id(0)
+    tcp = pltpu.make_async_copy(
+        tbl_ref.at[pl.ds(8 * t, 8), :], smem_tbl, tbl_sem
+    )
+    tcp.start()
     # stage the tile with a sentinel apron so chunk windows never run off
     tilebuf[pl.ds(0, tile_rows), :] = key_ref[:]
     tilebuf[pl.ds(tile_rows, chr_rows + 1), :] = jnp.full(
@@ -189,11 +216,13 @@ def _distribute_kernel(
                 sems.at[1, slot],
             ).wait()
 
+    tcp.wait()
     g0 = jnp.int32(0)
     for d in range(num_ranges):
-        s = rs_ref[0, d]
-        ln = rl_ref[0, d]
-        srow = slot_ref[0, d]
+        j0, j1, j2 = d, num_ranges + d, 2 * num_ranges + d
+        srow = smem_tbl[j0 // LANES, j0 % LANES]
+        s = smem_tbl[j1 // LANES, j1 % LANES]
+        ln = smem_tbl[j2 // LANES, j2 % LANES]
         base_row = lax.shift_right_logical(s, 7)
         phase = s & np.int32(LANES - 1)
         nch = lax.div(ln + np.int32(chr_rows * LANES - 1),
@@ -243,6 +272,68 @@ def _distribute_kernel(
         _wait(g0 % 2)
 
 
+@functools.lru_cache(maxsize=None)
+def _distribute_exe(rows: int, num_ranges: int, out_rows: int,
+                    tile_rows: int, chr_rows: int, pairs: bool,
+                    interpret: bool):
+    ntiles = rows // tile_rows
+    tile_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        tile_spec,
+        tile_spec if pairs else pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((out_rows if pairs else 1, LANES), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.SMEM((8, LANES), jnp.int32),                         # tables
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((tile_rows + chr_rows + 1, LANES), jnp.int32),  # tilebuf
+        pltpu.VMEM(
+            ((tile_rows + chr_rows + 1) if pairs else 1, LANES), jnp.int32
+        ),
+        pltpu.VMEM((2, chr_rows, LANES), jnp.int32),               # kbuf
+        pltpu.VMEM((2 if pairs else 1, chr_rows, LANES), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    kernel = functools.partial(
+        _distribute_kernel,
+        num_ranges=num_ranges,
+        tile_rows=tile_rows,
+        chr_rows=chr_rows,
+        pairs=pairs,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def f(slot_rows, run_starts, run_lens, keys, vals):
+        tbl = jnp.concatenate(
+            [slot_rows.astype(jnp.int32), run_starts.astype(jnp.int32),
+             run_lens.astype(jnp.int32)], axis=1,
+        )
+        tbl = jnp.pad(tbl, ((0, 0), (0, 8 * LANES - tbl.shape[1])))
+        tbl = tbl.reshape(ntiles * 8, LANES)
+        return call(tbl, keys, vals)
+
+    return jax.jit(f, donate_argnums=(3, 4) if pairs else (3,))
+
+
 def distribute(
     keys: jax.Array,
     vals: Optional[jax.Array],
@@ -255,61 +346,17 @@ def distribute(
     interpret: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scatter per-(tile,digit) runs into bucket slots (row-aligned)."""
-    rows = keys.shape[0]
-    ntiles = rows // tile_rows
     num_ranges = slot_rows.shape[1]
+    assert 3 * num_ranges <= 8 * LANES, "num_ranges too large for table"
     pairs = vals is not None
-
-    tile_spec = pl.BlockSpec(
-        (tile_rows, LANES), lambda t: (t, 0), memory_space=pltpu.VMEM
+    exe = _distribute_exe(
+        keys.shape[0], num_ranges, out_rows, tile_rows, chr_rows, pairs,
+        interpret,
     )
-    tbl_spec = pl.BlockSpec(
-        (1, num_ranges), lambda t: (t, 0), memory_space=pltpu.SMEM
+    ok, ov = exe(
+        slot_rows, run_starts, run_lens,
+        keys, vals if pairs else jnp.zeros((1,), jnp.int32),
     )
-    in_specs = [tbl_spec, tbl_spec, tbl_spec, tile_spec]
-    inputs = [slot_rows, run_starts, run_lens, keys]
-    if pairs:
-        in_specs.append(tile_spec)
-        inputs.append(vals)
-    else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(jnp.zeros((1,), jnp.int32))
-
-    out_shape = [
-        jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((out_rows if pairs else 1, LANES), jnp.int32),
-    ]
-    out_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    scratch = [
-        pltpu.VMEM((tile_rows + chr_rows + 1, LANES), jnp.int32),  # tilebuf
-        pltpu.VMEM(
-            ((tile_rows + chr_rows + 1) if pairs else 1, LANES), jnp.int32
-        ),
-        pltpu.VMEM((2, chr_rows, LANES), jnp.int32),               # kbuf
-        pltpu.VMEM((2 if pairs else 1, chr_rows, LANES), jnp.int32),
-        pltpu.SemaphoreType.DMA((2, 2)),
-    ]
-
-    kernel = functools.partial(
-        _distribute_kernel,
-        num_ranges=num_ranges,
-        tile_rows=tile_rows,
-        chr_rows=chr_rows,
-        pairs=pairs,
-    )
-    ok, ov = pl.pallas_call(
-        kernel,
-        grid=(ntiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(*inputs)
     return ok, (ov if pairs else None)
 
 
@@ -356,35 +403,20 @@ def _ragged_sort_kernel(
     cp_out.wait()
 
 
-def ragged_sort(
-    keys: jax.Array,
-    vals: Optional[jax.Array],
-    starts_row: jax.Array,   # (nb,) bucket start rows (each cap=class_rows)
-    pad_elems: jax.Array,    # (nb,) meaningful elements at each bucket head
-    class_rows: int,
-    interpret: bool = False,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Bitonic-sort ``nb`` buckets of exactly ``class_rows`` rows, in place
-    (aliased input/output).  Elements beyond ``pad_elems`` are unwritten
-    slack, masked to sentinels."""
-    nb = starts_row.shape[0]
-    pairs = vals is not None
+@functools.lru_cache(maxsize=None)
+def _ragged_sort_exe(rows: int, nb: int, class_rows: int, pairs: bool,
+                     interpret: bool):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY) if pairs
+        else pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    inputs = [starts_row.astype(jnp.int32), pad_elems.astype(jnp.int32),
-              keys]
-    if pairs:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        inputs.append(vals)
-    else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(jnp.zeros((1,), jnp.int32))
     out_shape = [
-        jax.ShapeDtypeStruct(keys.shape, jnp.int32),
-        jax.ShapeDtypeStruct(keys.shape if pairs else (1, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES) if pairs else (1, LANES),
+                             jnp.int32),
     ]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -395,7 +427,7 @@ def ragged_sort(
         _ragged_sort_kernel, class_rows=class_rows, pairs=pairs
     )
     aliases = {2: 0, 3: 1} if pairs else {2: 0}
-    ok, ov = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
@@ -409,7 +441,33 @@ def ragged_sort(
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(*inputs)
+    )
+
+    def f(starts, pads, keys, vals):
+        return call(starts, pads, keys, vals)
+
+    return jax.jit(f, donate_argnums=(2, 3) if pairs else (2,))
+
+
+def ragged_sort(
+    keys: jax.Array,
+    vals: Optional[jax.Array],
+    starts_row: jax.Array,   # (nb,) bucket start rows (each cap=class_rows)
+    pad_elems: jax.Array,    # (nb,) meaningful elements at each bucket head
+    class_rows: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Bitonic-sort ``nb`` buckets of exactly ``class_rows`` rows, in place
+    (aliased input/output).  Elements beyond ``pad_elems`` are unwritten
+    slack, masked to sentinels."""
+    pairs = vals is not None
+    exe = _ragged_sort_exe(
+        keys.shape[0], starts_row.shape[0], class_rows, pairs, interpret
+    )
+    ok, ov = exe(
+        starts_row.astype(jnp.int32), pad_elems.astype(jnp.int32),
+        keys, vals if pairs else jnp.zeros((1,), jnp.int32),
+    )
     return ok, (ov if pairs else None)
 
 
@@ -471,9 +529,14 @@ def _compact_kernel(
         outk, lastk = shifted(carry[0, :], kbuf[0])
         kbuf[1] = outk
         full = lax.shift_right_logical(phase + m, 7)
-        # new carry = stream row `full` (ext = outk rows then last row)
+        # new carry = stream row `full` (ext = outk rows then last row);
+        # dynamic row extract via masked row reduction (dynamic_slice on
+        # values is not lowerable)
         ext = jnp.concatenate([outk, lastk], axis=0)
-        carry[0, :] = lax.dynamic_slice_in_dim(ext, full, 1, axis=0)[0]
+        rows_i = lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+        carry[0, :] = jnp.sum(
+            jnp.where(rows_i == full, ext, 0), axis=0, dtype=jnp.int32
+        )
         cpo = pltpu.make_async_copy(
             kbuf.at[1], out_key_ref.at[pl.ds(out_row, chr_rows), :],
             sems.at[0],
@@ -483,7 +546,9 @@ def _compact_kernel(
             outv, lastv = shifted(carry[1, :], vbuf[0])
             vbuf[1] = outv
             extv = jnp.concatenate([outv, lastv], axis=0)
-            carry[1, :] = lax.dynamic_slice_in_dim(extv, full, 1, axis=0)[0]
+            carry[1, :] = jnp.sum(
+                jnp.where(rows_i == full, extv, 0), axis=0, dtype=jnp.int32
+            )
             cvo = pltpu.make_async_copy(
                 vbuf.at[1], out_val_ref.at[pl.ds(out_row, chr_rows), :],
                 sems.at[1],
@@ -530,31 +595,16 @@ def _compact_kernel(
         cp.wait()
 
 
-def compact(
-    keys: jax.Array,
-    vals: Optional[jax.Array],
-    starts_row: jax.Array,   # (nb,) bucket start rows
-    lens: jax.Array,         # (nb,) valid element counts
-    out_rows: int,
-    chr_rows: int = 8,
-    interpret: bool = False,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Concatenate the valid prefixes of all buckets densely (the inject
-    splice).  out_rows must include chr_rows of slack."""
-    nb = starts_row.shape[0]
-    pairs = vals is not None
+@functools.lru_cache(maxsize=None)
+def _compact_exe(rows: int, nseg: int, out_rows: int, chr_rows: int,
+                 pairs: bool, interpret: bool):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY) if pairs
+        else pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    inputs = [starts_row.astype(jnp.int32), lens.astype(jnp.int32), keys]
-    if pairs:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        inputs.append(vals)
-    else:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(jnp.zeros((1,), jnp.int32))
     out_shape = [
         jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((out_rows if pairs else 1, LANES), jnp.int32),
@@ -567,9 +617,9 @@ def compact(
     kernel = functools.partial(
         _compact_kernel, chr_rows=chr_rows, pairs=pairs
     )
-    ok, ov = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nseg,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -582,5 +632,32 @@ def compact(
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(*inputs)
+    )
+
+    def f(starts, lens, keys, vals):
+        return call(starts, lens, keys, vals)
+
+    return jax.jit(f)
+
+
+def compact(
+    keys: jax.Array,
+    vals: Optional[jax.Array],
+    starts_row: jax.Array,   # (nb,) bucket start rows
+    lens: jax.Array,         # (nb,) valid element counts
+    out_rows: int,
+    chr_rows: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Concatenate the valid prefixes of all buckets densely (the inject
+    splice).  out_rows must include chr_rows of slack."""
+    pairs = vals is not None
+    exe = _compact_exe(
+        keys.shape[0], starts_row.shape[0], out_rows, chr_rows, pairs,
+        interpret,
+    )
+    ok, ov = exe(
+        starts_row.astype(jnp.int32), lens.astype(jnp.int32),
+        keys, vals if pairs else jnp.zeros((1,), jnp.int32),
+    )
     return ok, (ov if pairs else None)
