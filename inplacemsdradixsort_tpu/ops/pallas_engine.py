@@ -141,15 +141,24 @@ def msd_sort(
     ]
 
     # ---------------- level loop
+    # per-level fan-out is capped: every (tile, range) run costs one DMA
+    # descriptor in the distribute kernel, so wide fan-outs are DMA-issue
+    # bound while narrow ones add whole bitonic passes.  6 bits/level
+    # balances the two on v5e; bits are spread evenly across the levels a
+    # bucket still needs (the reference's 2/3-way pass splits,
+    # msb_64.c:1367-1380).
+    rb_dma_cap = min(rb_cfg, 6)
+
     def _split_bits(b: _Bucket) -> int:
-        """Bits needed this level: split just enough to land children near
-        vmax/2 (the schedule_passes sizing rule, msb_64.c:1387-1395),
-        capped by the table width and remaining bits."""
+        """Bits this level: land children near vmax/2 (the schedule_passes
+        sizing rule, msb_64.c:1387-1395), evenly over remaining levels."""
         pad_rows = int(_rows_per(b.slot_lens).sum())
         need = max(1, math.ceil(math.log2(max(
             2.0, pad_rows / (vmax_rows // 2)
         ))))
-        return min(rb_cfg, b.bits_left, need)
+        need = min(need, b.bits_left)
+        levels = math.ceil(need / rb_dma_cap)
+        return min(rb_cfg, b.bits_left, math.ceil(need / levels))
 
     while any(b.kind == "split" for b in buckets):
         r = 1 << rb_cfg                     # table width (fixed per config)
@@ -328,12 +337,13 @@ def msd_sort(
         if len(seg_starts) == 1 and seg_starts[0] == 0:
             out_k, out_v = kb, vb            # already dense at row 0
         else:
-            out_rows = -(-n // LANES) + chr_rows + 1
+            cchr = 4 * chr_rows              # compact DMAs serialize; go big
+            out_rows = -(-n // LANES) + cchr + 1
             out_k, out_v = pk.compact(
                 kb, vb,
                 jnp.asarray(np.array(seg_starts), jnp.int32),
                 jnp.asarray(np.array(seg_lens), jnp.int32),
-                out_rows, chr_rows, interpret=interp,
+                out_rows, cchr, interpret=interp,
             )
         timer.sync(out_k)
 
