@@ -352,6 +352,37 @@ def msd_sort(
     return final_k, final_v
 
 
+def sort_vmem(keys: jax.Array, tile_rows: int = 256,
+              interpret: Optional[bool] = None) -> jax.Array:
+    """Fully-jittable single-kernel sort for VMEM-sized inputs.
+
+    The in-cache fast path (reference ``partition_ip``/``insertsort`` tier):
+    pad to a power-of-two tile class, one ragged_sort launch, slice.  Used
+    as the compile-check entry point and by callers that want a traceable
+    sort without the host-orchestrated MSD recursion.
+    """
+    if interpret is None:  # pallas compiles on TPU only
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+    n = keys.shape[0]
+    kb = bias_u32(keys)
+    rows = max(tile_rows, -(-n // LANES))
+    cap = 1 << math.ceil(math.log2(rows))
+    kb = jnp.concatenate(
+        [kb, jnp.full((cap * LANES - n,), pk.SENT_KEY, jnp.int32)]
+    ).reshape(cap, LANES)
+    ok, _ = pk.ragged_sort(
+        kb, None,
+        jnp.zeros((1,), jnp.int32),
+        jnp.full((1,), n, jnp.int32),
+        cap,
+        interpret=interpret,
+    )
+    return unbias_u32(ok.reshape(-1)[:n])
+
+
 def _terminal_cap(pad_rows: int, chr_rows: int, tr: int,
                   vmax_rows: int) -> int:
     need = pad_rows + chr_rows

@@ -1,0 +1,44 @@
+"""Device mesh topology — the hosts × chips analog of NUMA × threads.
+
+The reference maps logical threads onto a two-level NUMA-node × core
+topology (``schedule_threads``, /root/reference/src/msb_64.c:206-237) with
+cheap communication inside a node and expensive across nodes.  The TPU
+analog is a (hosts, chips) mesh: ICI inside a slice, DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_sort_mesh(
+    num_shards: Optional[int] = None,
+    axis_name: str = "shard",
+) -> Mesh:
+    """1-D mesh over all (or the first ``num_shards``) devices.
+
+    The distributed sort treats every chip as one shard (the reference's
+    NUMA node); hierarchical host×chip exchange is a planned refinement.
+    """
+    devs = jax.devices()
+    if num_shards is not None:
+        devs = devs[:num_shards]
+    return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
+
+
+def make_host_chip_mesh(
+    hosts: int, chips: int, axis_names: Tuple[str, str] = ("host", "chip")
+) -> Mesh:
+    """2-D (hosts, chips) mesh — the NUMA×thread analog
+    (msb_64.c:206-237)."""
+    devs = np.array(jax.devices()[: hosts * chips]).reshape(hosts, chips)
+    return Mesh(devs, axis_names)
+
+
+def shard_spec(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits the leading data axis over all mesh axes."""
+    return NamedSharding(mesh, P(mesh.axis_names))

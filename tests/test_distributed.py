@@ -1,0 +1,69 @@
+"""Distributed sort over the 8-virtual-device CPU mesh (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inplacemsdradixsort_tpu.config import SortConfig
+from inplacemsdradixsort_tpu.models import distributions as dist
+from inplacemsdradixsort_tpu.parallel import dsort
+from inplacemsdradixsort_tpu.parallel.mesh import make_sort_mesh
+
+
+def _mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    return make_sort_mesh()
+
+
+@pytest.mark.parametrize("name", ["uniform", "zipf075", "dup_heavy",
+                                  "sorted", "reverse"])
+def test_distributed_sort(name):
+    mesh = _mesh()
+    n = 1 << 16
+    keys = dist.make(name, jax.random.key(0), n, dtype=jnp.uint32)
+    res = dsort.distributed_sort(keys, mesh=mesh)
+    got = dsort.gather_sorted(res)
+    assert got.shape[0] == n
+    assert np.array_equal(got, np.sort(np.asarray(keys)))
+    dsort.check_distributed(res)
+
+
+def test_distributed_sort_all_equal_overflow_retry():
+    # all-equal keys overflow any fudge-capped exchange: one shard receives
+    # everything; the driver must retry with exact capacities
+    mesh = _mesh()
+    n = 1 << 12
+    keys = jnp.full((n,), 12345, jnp.uint32)
+    res = dsort.distributed_sort(
+        keys, mesh=mesh, config=SortConfig(exchange_fudge=1.25)
+    )
+    got = dsort.gather_sorted(res)
+    assert np.array_equal(got, np.asarray(keys))
+
+
+def test_distributed_pairs_permutation():
+    mesh = _mesh()
+    n = 1 << 14
+    keys = dist.dup_heavy(jax.random.key(1), n)
+    rids = jnp.arange(n, dtype=jnp.uint32)
+    res = dsort.distributed_sort(keys, rids, mesh=mesh)
+    ks = np.asarray(jax.device_get(res.keys))
+    rs_ = np.asarray(jax.device_get(res.rids))
+    cnt = np.asarray(jax.device_get(res.counts))
+    got_k = np.concatenate([ks[i, : cnt[i]] for i in range(ks.shape[0])])
+    got_r = np.concatenate([rs_[i, : cnt[i]] for i in range(rs_.shape[0])])
+    kn = np.asarray(keys)
+    assert np.array_equal(got_k, np.sort(kn))
+    # permutation integrity: keys[rids] == sorted keys
+    assert np.array_equal(kn[got_r], got_k)
+
+
+def test_distributed_timing_report():
+    mesh = _mesh()
+    keys = dist.uniform(jax.random.key(2), 1 << 13)
+    res = dsort.distributed_sort(keys, mesh=mesh, timing=True)
+    labels = [l for l, _ in res.times]
+    assert "sample" in labels and "balance" in labels
+    assert sum(t for _, t in res.times) > 0
