@@ -93,6 +93,11 @@ def sort(
         out_k, out_r = pallas_engine.msd_sort(
             keys, rids, config, timer=timer
         )
+    elif engine == "pallas" and keys.dtype == jnp.uint64 and rids is None:
+        from .ops import keycodec, pallas_engine
+        hi, lo = keycodec.split_u64(keys)
+        shi, slo = pallas_engine.msd_sort_u64(hi, lo, config, timer=timer)
+        out_k, out_r = keycodec.join_u64(shi, slo), None
     else:
         with timer.phase("local_sort"):
             if rids is None:

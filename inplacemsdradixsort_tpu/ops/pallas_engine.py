@@ -91,12 +91,18 @@ def msd_sort(
     rids: Optional[jax.Array],
     cfg: SortConfig,
     timer: Optional[PhaseTimer] = None,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Sort uint32 keys (and optional uint32 rids) on one chip."""
+    return_meta: bool = False,
+):
+    """Sort uint32 keys (and optional uint32 rids) on one chip.
+
+    With ``return_meta``, also returns the output extents of 'done'
+    buckets (all key bits equal; used by the u64 path to finish the low
+    words, the ``shift_bits == 0`` recursion floor of msb_64.c:1028).
+    """
     timer = timer or PhaseTimer(enabled=False)
     n = int(keys.shape[0])
     if n == 0:
-        return keys, rids
+        return (keys, rids, []) if return_meta else (keys, rids)
     pairs = rids is not None
     tr = cfg.tile_rows                     # tile rows
     t_elems = tr * LANES
@@ -323,17 +329,21 @@ def msd_sort(
     # ---------------- compact the valid prefixes in bucket order
     with timer.phase("inject"):
         seg_starts, seg_lens = [], []
+        done_segs = []          # (output offset, length) of 'done' buckets
+        out_off = 0
         for b in buckets:
             if b.kind == "terminal":
                 seg_starts.append(b.start_row)
                 seg_lens.append(b.valid)
             else:  # 'done' (all-equal, oversized): one segment per slot
+                done_segs.append((out_off, b.valid))
                 rows = _rows_per(b.slot_lens)
                 offs = b.start_row + np.cumsum(rows) - rows
                 for o, ln in zip(offs, b.slot_lens):
                     if ln > 0:
                         seg_starts.append(int(o))
                         seg_lens.append(int(ln))
+            out_off += b.valid
         if len(seg_starts) == 1 and seg_starts[0] == 0:
             out_k, out_v = kb, vb            # already dense at row 0
         else:
@@ -349,7 +359,45 @@ def msd_sort(
 
     final_k = unbias_u32(out_k.reshape(-1)[:n])
     final_v = unbias_u32(out_v.reshape(-1)[:n]) if pairs else None
+    if return_meta:
+        return final_k, final_v, done_segs
     return final_k, final_v
+
+
+def msd_sort_u64(
+    keys_u64_hi: jax.Array,
+    keys_u64_lo: jax.Array,
+    cfg: SortConfig,
+    timer: Optional[PhaseTimer] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort uint64 keys given as (hi, lo) uint32 words, on one chip.
+
+    The engine's (key, val) lexicographic comparator sorts (hi, lo) pairs
+    directly; oversized all-equal-hi buckets (bits exhausted in the high
+    word) get their low words finished by a recursive keys-only pass —
+    the reference's native uint64 capability (msb_64.h:37) without 64-bit
+    vector arithmetic on the chip.
+    """
+    n = keys_u64_hi.shape[0]
+    # the all-ones u64 key coincides with the sentinel pair; count and
+    # re-append (it is the maximum, so the tail positions are its home)
+    maxu = np.uint32(0xFFFFFFFF)
+    nmax = int(jnp.sum(
+        (keys_u64_hi == maxu) & (keys_u64_lo == maxu), dtype=jnp.int32
+    ))
+    hi, lo, done = msd_sort(
+        keys_u64_hi, keys_u64_lo, cfg, timer=timer, return_meta=True
+    )
+    for off, ln in done:
+        seg_sorted, _ = msd_sort(
+            jax.lax.dynamic_slice_in_dim(lo, off, ln), None, cfg
+        )
+        lo = jax.lax.dynamic_update_slice_in_dim(lo, seg_sorted, off, 0)
+    if nmax:
+        idx = jnp.arange(n)
+        hi = jnp.where(idx >= n - nmax, maxu, hi)
+        lo = jnp.where(idx >= n - nmax, maxu, lo)
+    return hi, lo
 
 
 def sort_vmem(keys: jax.Array, tile_rows: int = 256,
