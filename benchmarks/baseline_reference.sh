@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Build and run the reference library with the reconstructed driver
+# (BASELINE.json config 1: 2^27 uniform keys, msb_64 on CPU).
+#
+# Requirements: a many-core x86 NUMA host with libnuma-dev (numa.h).
+# The reference hard-codes 64 threads (msb_64.c:2266).  The TPU-attached
+# VM in this environment has 1 vCPU and no numa.h, so this script is the
+# *harness* for the anchor measurement, to be run on a suitable CPU host.
+set -euo pipefail
+
+REF=${REF:-/root/reference}
+OUT=${OUT:-/tmp/refbench}
+LOGN=${1:-27}
+
+if [ ! -f /usr/include/numa.h ]; then
+    echo "numa.h not found — install libnuma-dev on a CPU host" >&2
+    exit 2
+fi
+
+mkdir -p "$OUT"
+gcc -O3 -march=native -I"$REF/include" -I"$REF/src" \
+    "$(dirname "$0")/ref_driver.c" "$REF/src/msb_64.c" "$REF/src/rand.c" \
+    -o "$OUT/msb_64_bench" -lpthread -lnuma -lm
+"$OUT/msb_64_bench" "$LOGN" "${NUMA_NODES:-1}"

@@ -1,0 +1,68 @@
+/* Reconstructed benchmark driver for the reference library.
+ *
+ * The reference repo's Makefile names driver sources (benchmark_msb_64.c,
+ * init.c, zipf.c, shuffle.c — /root/reference/Makefile:20-21) that are
+ * absent; this re-creates the minimum: generate uniform uint64 keys with
+ * the library's own MT19937-64, call sort() with the mandatory 64 threads
+ * (msb_64.c:2266), verify with check(), print keys/sec and the 10-row
+ * phase report.
+ *
+ * Build via benchmarks/baseline_reference.sh (links against the reference
+ * sources in-place; nothing is copied into this repository).
+ *
+ * NOTE: needs a many-core NUMA host; the TPU-attached VM in this
+ * environment has 1 vCPU, where the 64-thread requirement makes the
+ * number meaningless — run on a real CPU host for the BASELINE.json
+ * config-1 anchor.
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <stdint.h>
+#include <time.h>
+#include "msb_64.h"
+#include "rand.h"
+
+static double now_sec(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+int main(int argc, char **argv) {
+    uint64_t log_n = argc > 1 ? strtoull(argv[1], 0, 10) : 27;
+    int numa_nodes = argc > 2 ? atoi(argv[2]) : 1;
+    double fudge = 1.125;
+    uint64_t total = 1ull << log_n;
+
+    uint64_t **keys = malloc(numa_nodes * sizeof(uint64_t *));
+    uint64_t **rids = malloc(numa_nodes * sizeof(uint64_t *));
+    uint64_t *size = malloc(numa_nodes * sizeof(uint64_t));
+    rand64_t *gen = rand64_init(42);
+    uint64_t checksum_in = 0;
+    for (int nnode = 0; nnode < numa_nodes; ++nnode) {
+        size[nnode] = total / numa_nodes;
+        size_t cap = (size_t)(size[nnode] * fudge) + 4096;
+        keys[nnode] = mamalloc(cap * sizeof(uint64_t));
+        rids[nnode] = mamalloc(cap * sizeof(uint64_t));
+        for (uint64_t i = 0; i < size[nnode]; ++i) {
+            uint64_t k = rand64_next(gen);
+            keys[nnode][i] = k;
+            rids[nnode][i] = k; /* check(same=1) mode, msb_64.c:2461 */
+            checksum_in += k;
+        }
+    }
+
+    char *desc[16];
+    uint64_t times[16];
+    double t0 = now_sec();
+    sort(keys, rids, size, 64, numa_nodes, fudge, desc, times);
+    double dt = now_sec() - t0;
+
+    uint64_t checksum_out = check(keys, rids, size, numa_nodes, 1);
+    printf("sorted %llu keys in %.3f s = %.3f Mkeys/s  checksum %s\n",
+           (unsigned long long)total, dt, total / dt / 1e6,
+           checksum_in == checksum_out ? "OK" : "MISMATCH");
+    for (int i = 0; i < 10; ++i)
+        printf("  %-28s %llu us\n", desc[i], (unsigned long long)times[i]);
+    return checksum_in == checksum_out ? 0 : 1;
+}
