@@ -44,14 +44,14 @@ def time_fn(f, iters=3):
 
 
 def main():
-    logn = int(os.environ.get("BENCH_LOGN", "26"))
+    logn = int(os.environ.get("BENCH_LOGN", "28"))
     n = 1 << logn
     LOG(f"bench: 2^{logn} uniform uint32 keys on {jax.devices()[0]}")
     keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)
     _sync(keys)
 
     platform = jax.devices()[0].platform
-    cfg = SortConfig(engine="pallas" if platform == "tpu" else "xla")
+    cfg = SortConfig(engine="v3" if platform == "tpu" else "xla")
 
     def ours():
         res = rs.sort(keys, config=cfg)

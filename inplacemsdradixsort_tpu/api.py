@@ -64,7 +64,7 @@ def _select_engine(cfg: SortConfig) -> str:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    return "v3" if platform == "tpu" else "xla"
 
 
 def sort(
@@ -88,7 +88,21 @@ def sort(
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
 
-    if engine == "pallas" and keys.dtype == jnp.uint32:
+    if engine == "v3" and keys.dtype == jnp.uint32:
+        from .ops import engine_v3
+        rr = rids.astype(jnp.uint32) if rids is not None else None
+        out_k, out_r = engine_v3.sort_v3(keys, rr, config, timer=timer)
+        if out_r is not None and rids is not None:
+            out_r = out_r.astype(rids.dtype)
+    elif engine == "v3" and keys.dtype == jnp.uint64 and rids is None:
+        # (hi, lo) through the lexicographic pairs path: a full uint64
+        # sort in one pipeline (the reference's native key type,
+        # msb_64.h:37)
+        from .ops import engine_v3, keycodec
+        hi, lo = keycodec.split_u64(keys)
+        shi, slo = engine_v3.sort_v3(hi, lo, config, timer=timer)
+        out_k, out_r = keycodec.join_u64(shi, slo), None
+    elif engine == "pallas" and keys.dtype == jnp.uint32:
         from .ops import pallas_engine
         out_k, out_r = pallas_engine.msd_sort(
             keys, rids, config, timer=timer

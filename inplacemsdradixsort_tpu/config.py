@@ -42,8 +42,13 @@ class SortConfig:
     use_sample_splitters: bool = True   # hybrid sample+radix delimiters
     vmem_sort_elems: int = 1 << 18      # bucket size sortable fully in VMEM
 
+    # --- v3 engine geometry (None = auto) ---
+    v3_sort_rows: int = 1024      # rows per tile-sort (x128 lanes, pow2)
+    v3_rmax: Optional[int] = None     # ranges per parent per level
+    v3_cap_rows: Optional[int] = None  # terminal bucket capacity rows
+
     # --- engine selection ---
-    engine: str = "auto"          # "auto" | "pallas" | "xla"
+    engine: str = "auto"          # "auto" | "v3" | "pallas" | "xla"
     interpret: bool = False       # run Pallas kernels in interpreter mode
     debug_checks: bool = False    # in-situ invariant checks (#ifdef BG analog,
                                   # msb_64.c:329-349, 474-495)
