@@ -13,10 +13,12 @@ import jax.numpy as jnp
 from inplacemsdradixsort_tpu.config import SortConfig
 from inplacemsdradixsort_tpu.ops.engine_v3 import sort_v3, make_plan
 
-# tiny geometry so interpret-mode runs in seconds
-CFG = SortConfig(interpret=True, v3_sort_rows=64, v3_rmax=8,
-                 v3_cap_rows=64)
-N = 90_000
+# tiny geometry so interpret-mode runs in seconds (sort_rows=32 compiles
+# ~3x faster than 64 on XLA CPU; the persistent cache in conftest makes
+# repeat runs instant)
+CFG = SortConfig(interpret=True, v3_sort_rows=32, v3_rmax=8,
+                 v3_cap_rows=32)
+N = 70_000
 
 
 def _run(x, rids=None):

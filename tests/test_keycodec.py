@@ -41,7 +41,7 @@ def test_u64_split_join(rng):
 
 
 def test_engine_u64(rng):
-    x = rng.integers(0, 1 << 64, 20000, dtype=np.uint64)
+    x = rng.integers(0, 1 << 64, 12000, dtype=np.uint64)
     # include duplicates in the high word and the all-ones edge key
     x[:3000] = (x[0] & np.uint64(0xFFFFFFFF00000000)) | rng.integers(
         0, 1 << 32, 3000, dtype=np.uint64
@@ -55,7 +55,7 @@ def test_engine_u64(rng):
 
 def test_engine_u64_equal_hi_oversized(rng):
     # > vmem elements sharing the high word: exercises the 'done' fixup
-    n = 40000
+    n = 16000
     x = (np.uint64(0xABCD1234) << np.uint64(32)) | rng.integers(
         0, 1 << 32, n, dtype=np.uint64
     )
