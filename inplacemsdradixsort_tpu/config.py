@@ -43,7 +43,7 @@ class SortConfig:
     vmem_sort_elems: int = 1 << 18      # bucket size sortable fully in VMEM
 
     # --- v3 engine geometry (None = auto) ---
-    v3_sort_rows: int = 1024      # rows per tile-sort (x128 lanes, pow2)
+    v3_sort_rows: int = 2048      # rows per tile-sort (x128 lanes, pow2)
     v3_rmax: Optional[int] = None     # ranges per parent per level
     v3_cap_rows: Optional[int] = None  # terminal bucket capacity rows
 

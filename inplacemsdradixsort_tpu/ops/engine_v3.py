@@ -198,7 +198,7 @@ def _plan_geometry(n: int, pairs: bool, fudge: float, cfg: SortConfig):
         cap_rows = cfg.v3_cap_rows
     else:
         cap_rows = 1024 if not pairs else 512
-        if n > (1 << 28):
+        if n >= (1 << 28):
             cap_rows *= 2        # keep the bucket count in topology range
     target = int(cap_rows * LANES * 0.60 / fudge)  # aim per final bucket
     nb_want = max(1, _ceil_div(n, target))
@@ -217,7 +217,8 @@ def make_plan(n: int, stats: np.ndarray, S: int, pairs: bool,
     )
     nb = len(bounds)
     rmax = cfg.v3_rmax or (
-        32 if nb <= 1024 else (64 if nb <= 4096 else 96)
+        32 if nb <= 1024 else (
+            48 if nb <= 2304 else (64 if nb <= 4096 else 96))
     )
     nparents = rmax                                 # square topology
     sort_rows = cfg.v3_sort_rows

@@ -26,6 +26,13 @@ def make_sort_mesh(
     """
     devs = jax.devices()
     if num_shards is not None:
+        if len(devs) < num_shards:
+            raise RuntimeError(
+                f"make_sort_mesh: need {num_shards} devices, backend has "
+                f"{len(devs)} — for a virtual mesh set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={num_shards} and "
+                "jax_platforms=cpu before jax initializes"
+            )
         devs = devs[:num_shards]
     return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
 

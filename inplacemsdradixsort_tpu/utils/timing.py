@@ -56,10 +56,18 @@ class PhaseTimer:
         )
 
     def sync(self, *values):
-        """Block until device values are ready (phase boundary)."""
+        """Block until device values are ready (phase boundary).
+
+        On tunneled backends ``jax.block_until_ready`` can be a no-op
+        (dispatch acks without execution), so force completion by
+        fetching a few trailing elements.
+        """
         if self.enabled:
             for v in values:
-                jax.block_until_ready(v)
+                try:
+                    jax.device_get(v.ravel()[-2:])
+                except (AttributeError, TypeError):
+                    jax.block_until_ready(v)
         return values[0] if len(values) == 1 else values
 
     def report(self) -> List[tuple]:
