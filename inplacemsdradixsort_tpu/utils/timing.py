@@ -66,7 +66,9 @@ class PhaseTimer:
             for v in values:
                 try:
                     jax.device_get(v.ravel()[-2:])
-                except (AttributeError, TypeError):
+                except Exception:
+                    # non-array values, or sharded arrays whose gather
+                    # sharding is ambiguous — fall back to the plain wait
                     jax.block_until_ready(v)
         return values[0] if len(values) == 1 else values
 

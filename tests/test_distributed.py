@@ -67,3 +67,11 @@ def test_distributed_timing_report():
     labels = [l for l, _ in res.times]
     assert "sample" in labels and "balance" in labels
     assert sum(t for _, t in res.times) > 0
+
+
+def test_make_sort_mesh_refuses_undersized_backend():
+    # requesting more shards than the backend has devices must fail loudly
+    # (a silently shrunk mesh made dryrun_multichip(8) "pass" on 1 chip)
+    have = len(jax.devices())
+    with pytest.raises(RuntimeError, match="need"):
+        make_sort_mesh(have + 1)
