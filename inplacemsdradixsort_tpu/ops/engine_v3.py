@@ -94,23 +94,33 @@ class _Plan:
 
 @functools.partial(jax.jit, static_argnames=("ssz", "nbq"))
 def _sample_stats(keys: jax.Array, *, ssz: int, nbq: int):
-    """Device side of the splitter planner: draw a row-granular random
-    sample, sort it, and return the equal-depth quantile picks with their
-    left/right ranks in the sorted sample — a few KB instead of the whole
-    sample (D2H over the tunnel is latency- and bandwidth-expensive)."""
+    """Device side of the splitter planner: draw an element-granular
+    random sample, sort it, and return the equal-depth quantile picks with
+    their left/right ranks in the sorted sample — a few KB instead of the
+    whole sample (D2H over the tunnel is latency- and bandwidth-expensive).
+
+    One element per random row (a row gather + per-row lane pick), NOT
+    whole 128-lane rows: row-granular samples are worthless on inputs
+    whose neighboring keys are correlated (e.g. sequential generators) —
+    the effective sample size drops 128x and the per-bucket capacity
+    estimates miss real skew (observed as 2x cap overruns on a
+    dup-heavy structured input at 2^26)."""
     n = keys.shape[0]
     rows = max(n // LANES, 1)
-    nrows = max(1, min(ssz // LANES, rows))
-    if rows <= 1 or nrows >= rows:
+    neff = max(1, min(ssz, rows))
+    if rows <= 1 or neff >= rows:
         s = jnp.sort(keys[: min(n, ssz)])
     else:
-        idx = jax.random.randint(
-            jax.random.key(n & 0xFFFF), (nrows,), 0, rows, dtype=jnp.int32
-        )
+        key = jax.random.key(n & 0xFFFF)
+        idx = jax.random.randint(key, (neff,), 0, rows, dtype=jnp.int32)
         picked = jnp.take(
             keys[: rows * LANES].reshape(rows, LANES), idx, axis=0
         )
-        s = jnp.sort(picked.reshape(-1))
+        # decorrelating lane pick: one pseudo-random lane per sampled row
+        lane = (idx * 89 + jnp.arange(neff, dtype=jnp.int32) * 37) % LANES
+        s = jnp.sort(
+            jnp.take_along_axis(picked, lane[:, None], axis=1).reshape(-1)
+        )
     S = s.shape[0]
     # host-side int64 math: jnp would silently downcast to int32 and
     # overflow at nbq * S > 2^31
@@ -590,8 +600,8 @@ def _sort_v3_body(keys, rids, cfg, timer, _fudge, _depth, n, pairs,
         ))
         # replicate _sample_stats' sample-size computation
         rows = max(n // LANES, 1)
-        nrows = max(1, min(ssz // LANES, rows))
-        S = min(n, ssz) if (rows <= 1 or nrows >= rows) else nrows * LANES
+        neff = max(1, min(ssz, rows))
+        S = min(n, ssz) if (rows <= 1 or neff >= rows) else neff
         try:
             plan = make_plan(n, stats, S, pairs, cfg, _fudge)
         except ValueError:
