@@ -31,6 +31,7 @@ def _run(x, rids=None):
 
 @pytest.mark.parametrize("dist", [
     "uniform", "zipf", "dup8", "sorted", "reverse", "allequal", "maxheavy",
+    "rowcorr",
 ])
 def test_keys_only_distributions(dist):
     rng = np.random.default_rng(hash(dist) % 2**32)
@@ -46,10 +47,15 @@ def test_keys_only_distributions(dist):
         x = np.sort(rng.integers(0, 2**32, N, dtype=np.uint32))[::-1].copy()
     elif dist == "allequal":
         x = np.full(N, 0xCAFEBABE, np.uint32)
-    else:  # maxheavy: 30% of keys are the maximum value
+    elif dist == "maxheavy":  # 30% of keys are the maximum value
         x = np.where(rng.random(N) < 0.3, 0xFFFFFFFF,
                      rng.integers(0, 2**32, N, dtype=np.uint32))
         x = x.astype(np.uint32)
+    else:  # rowcorr: neighboring keys correlated (sequential generator);
+        # whole-row sampling misestimated skew here and overflowed caps
+        # on hardware — must survive element-granular planning
+        x = ((np.arange(N, 0, -1, dtype=np.uint64) % 997)
+             .astype(np.uint32) * np.uint32(44257))
     out, _ = _run(x)
     assert np.array_equal(out, np.sort(x)), dist
 
