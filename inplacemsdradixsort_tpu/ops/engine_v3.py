@@ -511,15 +511,20 @@ def _pipeline(
         jnp.take(real1, jnp.maximum(-1 - term_child, 0)),
     )
     reals_t = jnp.where(term_valid, reals_t, 0).astype(jnp.int32)
-    # bound every terminal write inside the output buffer even when the
-    # overflow flag is set (the host retries, but the device must never
-    # DMA out of bounds)
-    ends = jnp.minimum(jnp.cumsum(reals_t), n).astype(jnp.int32)
-    out_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
-    reals_t = (ends - out_off).astype(jnp.int32)
     occ_t = jnp.where(
         term_child >= 0, jnp.take(occ2, jnp.maximum(term_child, 0)), 0
     ).astype(jnp.int32)
+    # bound every terminal access even when the overflow flag is set (the
+    # host retries, but the device must never DMA out of bounds): under
+    # L2 cap overflow a bucket's histogram-derived real count exceeds its
+    # stored occ*LANES elements, and an unclamped count would drive the
+    # terminal writer's chunk reads past its VMEM stream buffer
+    reals_t = jnp.where(
+        term_mode == 0, jnp.minimum(reals_t, occ_t * LANES), reals_t
+    )
+    ends = jnp.minimum(jnp.cumsum(reals_t), n).astype(jnp.int32)
+    out_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    reals_t = (ends - out_off).astype(jnp.int32)
 
     btbl = jnp.stack([term_src, occ_t, reals_t, term_mode], axis=1)
     out, vout = terminal_sort_write(

@@ -384,6 +384,13 @@ def _terminal_kernel(
     occ = btbl[b * 4 + 1]
     real = btbl[b * 4 + 2]
     mode = btbl[b * 4 + 3]
+    # hard safety clamp: in mode 0 the write span streams from the
+    # cap_rows-sized sorted buffer, so a corrupt/overflowed real count
+    # must never drive chunk reads past it (mode 1 streams from two
+    # fixed chunks and tolerates any span)
+    real = jnp.where(
+        mode == 0, jnp.minimum(real, cap_rows * LANES), real
+    )
     off = out_off[b]
     phase = off % LANES
     q0 = off // LANES
