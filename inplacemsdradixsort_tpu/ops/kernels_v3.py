@@ -147,7 +147,7 @@ def _partition_kernel(
             leq = jnp.minimum(leq, nelems)     # exclude slack sentinels
             hist[d] = leq - prev
             return leq
-        lax.fori_loop(0, rmax, cnt_body, jnp.int32(0), unroll=False)
+        lax.fori_loop(0, rmax, cnt_body, jnp.int32(0), unroll=True)
 
         # ---- synthesize phantom pad rows at [pitch, pitch+rmax).
         # Pad values cycle (per tile) over the child's NEXT-level
@@ -165,7 +165,7 @@ def _partition_kernel(
             kbuf[pl.ds(pitch + d, 1), :] = row
             padacc[sink_base[c] + j] = padacc[sink_base[c] + j] + npad
             return 0
-        lax.fori_loop(0, rmax, pad_body, 0, unroll=False)
+        lax.fori_loop(0, rmax, pad_body, 0, unroll=True)
         if pairs:
             vbuf[pl.ds(pitch, rmax), :] = jnp.full(
                 (rmax, LANES), SENT, jnp.int32
@@ -218,24 +218,37 @@ def _partition_kernel(
             reals[c] = reals[c] + h
             return (row0 + rrows, nissued + nch)
         _, nissued = lax.fori_loop(
-            0, rmax, run_body, (jnp.int32(0), jnp.int32(0)), unroll=False
+            0, rmax, run_body, (jnp.int32(0), jnp.int32(0)), unroll=True
         )
 
-        # ---- drain all chunk DMAs (uniform byte counts per wait)
-        def drain(i, _):
+        # ---- drain all chunk DMAs.  The wait op only decrements the
+        # DMA semaphore by its descriptor's byte count (uniform 32KB
+        # chunks here), so aggregate the waits with larger dummy
+        # descriptors — one group-sized wait per gmax completed chunks,
+        # then single-chunk waits for the remainder.  Dummy src and dst
+        # are both kbuf so the descriptor fits at any geometry.
+        def wait_chunks(rows):
             pltpu.make_async_copy(
-                kbuf.at[pl.ds(0, CHUNK_ROWS), :],
-                dst_ref.at[pl.ds(0, CHUNK_ROWS), :],
+                kbuf.at[pl.ds(0, rows), :],
+                kbuf.at[pl.ds(0, rows), :],
                 sems.at[0],
             ).wait()
             if pairs:
                 pltpu.make_async_copy(
-                    vbuf.at[pl.ds(0, CHUNK_ROWS), :],
-                    vdst_ref.at[pl.ds(0, CHUNK_ROWS), :],
+                    vbuf.at[pl.ds(0, rows), :],
+                    vbuf.at[pl.ds(0, rows), :],
                     sems.at[1],
                 ).wait()
+
+        gmax = max(1, min(16, (sort_rows + CHUNK_ROWS) // CHUNK_ROWS))
+        def drain_group(i, _):
+            wait_chunks(gmax * CHUNK_ROWS)
             return 0
-        lax.fori_loop(0, nissued, drain, 0, unroll=False)
+        lax.fori_loop(0, nissued // gmax, drain_group, 0, unroll=False)
+        def drain_one(i, _):
+            wait_chunks(CHUNK_ROWS)
+            return 0
+        lax.fori_loop(0, nissued % gmax, drain_one, 0, unroll=False)
 
     @pl.when(t == ntiles - 1)
     def _fini():
