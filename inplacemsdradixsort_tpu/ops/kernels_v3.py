@@ -517,18 +517,29 @@ def _terminal_kernel(
                 ).start()
             return 0
         lax.fori_loop(0, nch, wb, 0, unroll=False)
-        def dr(i, _):
+        # aggregated drain (see partition kernel): each wait decrements
+        # the DMA semaphore by its descriptor's bytes, so group them
+        def wait_chunks(rows):
             pltpu.make_async_copy(
-                kbuf.at[pl.ds(1, CHUNK_ROWS), :],
-                out_ref.at[pl.ds(0, CHUNK_ROWS), :], sems.at[0],
+                kbuf.at[pl.ds(0, rows), :],
+                kbuf.at[pl.ds(0, rows), :], sems.at[0],
             ).wait()
             if pairs:
                 pltpu.make_async_copy(
-                    vbuf.at[pl.ds(1, CHUNK_ROWS), :],
-                    vout_ref.at[pl.ds(0, CHUNK_ROWS), :], sems.at[1],
+                    vbuf.at[pl.ds(0, rows), :],
+                    vbuf.at[pl.ds(0, rows), :], sems.at[1],
                 ).wait()
+
+        kbuf_rows = cap_rows + 2 + 2 * CHUNK_ROWS
+        gmax = max(1, min(16, kbuf_rows // CHUNK_ROWS))
+        def dr_group(i, _):
+            wait_chunks(gmax * CHUNK_ROWS)
             return 0
-        lax.fori_loop(0, nch, dr, 0, unroll=False)
+        lax.fori_loop(0, nch // gmax, dr_group, 0, unroll=False)
+        def dr_one(i, _):
+            wait_chunks(CHUNK_ROWS)
+            return 0
+        lax.fori_loop(0, nch % gmax, dr_one, 0, unroll=False)
 
 
 @functools.lru_cache(maxsize=None)
