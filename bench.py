@@ -51,7 +51,10 @@ def main():
     _sync(keys)
 
     platform = jax.devices()[0].platform
-    cfg = SortConfig(engine="v3" if platform == "tpu" else "xla")
+    engine = os.environ.get(
+        "BENCH_ENGINE", "v4" if platform == "tpu" else "xla"
+    )
+    cfg = SortConfig(engine=engine)
 
     def ours():
         res = rs.sort(keys, config=cfg)

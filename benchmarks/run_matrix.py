@@ -47,7 +47,10 @@ def main():
     logns = [int(x) for x in
              os.environ.get("BENCH_SIZES", "24,26").split(",")]
     platform = jax.devices()[0].platform
-    cfg = SortConfig(engine="pallas" if platform == "tpu" else "xla")
+    engine = os.environ.get(
+        "BENCH_ENGINE", "v4" if platform == "tpu" else "xla"
+    )
+    cfg = SortConfig(engine=engine)
     results = []
     jsort = jax.jit(jnp.sort)
 

@@ -64,7 +64,24 @@ def _select_engine(cfg: SortConfig) -> str:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return "v3" if platform == "tpu" else "xla"
+    return "v4" if platform == "tpu" else "xla"
+
+
+def _rid_planes(rids) -> Tuple[jax.Array, ...]:
+    """Payload planes for an arbitrary-width integer rid array: one u32
+    plane, or (hi, lo) for 64-bit rids — values >= 2^32 round-trip
+    exactly (the reference's 64-bit rids, msb_64.h:37)."""
+    if rids.dtype.itemsize <= 4:
+        return (rids.astype(jnp.uint32),)
+    from .ops import keycodec
+    return keycodec.split_u64(rids.astype(jnp.uint64))
+
+
+def _join_rids(planes: Tuple[jax.Array, ...], dtype) -> jax.Array:
+    if len(planes) == 1:
+        return planes[0].astype(dtype)
+    from .ops import keycodec
+    return keycodec.join_u64(*planes).astype(dtype)
 
 
 def sort(
@@ -88,7 +105,30 @@ def sort(
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
 
-    if engine == "v3" and keys.dtype == jnp.uint32:
+    if engine == "v4":
+        # flagship engine: exact-histogram planned, multi-plane payloads
+        # (u64 keys and/or u64 rids as extra u32 planes)
+        from .ops import engine_v4
+        if keys.dtype == jnp.uint32:
+            kplanes: Tuple[jax.Array, ...] = (keys,)
+        elif keys.dtype == jnp.uint64:
+            from .ops import keycodec
+            kplanes = keycodec.split_u64(keys)
+        else:
+            raise TypeError(f"unsupported key dtype {keys.dtype}")
+        vplanes = _rid_planes(rids) if rids is not None else ()
+        outs, vouts = engine_v4.sort_v4(
+            kplanes[0], kplanes[1:] + vplanes, config, timer=timer
+        )
+        outs = (outs,) + vouts[: len(kplanes) - 1]
+        vouts = vouts[len(kplanes) - 1:]
+        if keys.dtype == jnp.uint64:
+            from .ops import keycodec
+            out_k = keycodec.join_u64(*outs)
+        else:
+            out_k = outs[0]
+        out_r = _join_rids(vouts, rids.dtype) if rids is not None else None
+    elif engine == "v3" and keys.dtype == jnp.uint32:
         from .ops import engine_v3
         rr = rids.astype(jnp.uint32) if rids is not None else None
         out_k, out_r = engine_v3.sort_v3(keys, rr, config, timer=timer)

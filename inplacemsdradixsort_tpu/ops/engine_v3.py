@@ -541,27 +541,6 @@ def _pipeline(
     return final_k, final_v, over1[0] | over2[0]
 
 
-def _draw_sample(keys: jax.Array, size: int) -> jax.Array:
-    """Random sample of ~size keys, sorted on device.
-
-    Element gathers are catastrophically slow on TPU, so sample whole
-    128-lane rows at random row offsets (the reference samples single
-    keys, msb_64.c:1511-1521; row granularity only correlates keys that
-    were already adjacent, which equal-depth splitters tolerate).
-    """
-    n = keys.shape[0]
-    rows = n // LANES
-    nrows = max(1, size // LANES)
-    if rows <= 1 or nrows >= rows:
-        return jnp.sort(keys[: min(n, size)])
-    idx = jax.random.randint(
-        jax.random.key(n & 0xFFFF), (nrows,), 0, rows, dtype=jnp.int32
-    )
-    picked = jnp.take(keys[: rows * LANES].reshape(rows, LANES), idx,
-                      axis=0)
-    return jnp.sort(picked.reshape(-1))
-
-
 def sort_v3(
     keys: jax.Array,
     rids: Optional[jax.Array] = None,

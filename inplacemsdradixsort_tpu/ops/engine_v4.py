@@ -1,0 +1,695 @@
+"""v4 engine: exact-histogram-planned, device-resident MSD range sort.
+
+Pipeline (the reference ``sort_thread`` P1-P12,
+/root/reference/src/msb_64.c:1477-2259, re-shaped around exact counting):
+
+1. SAMPLE (device) + PLAN (host): equal-depth duplicate-aware bounds
+   (``extract_delimiters``, msb_64.c:1304-1322) and the two-level range
+   grouping.  The plan carries *bounds only* — no capacity estimates, no
+   ``fudge``: unlike v3 (and the reference, which aborts on insufficient
+   fudge, README.md:27-29), level arenas cannot overflow.
+2. Per level: ``hist_level`` sweep (exact per-(tile, range) counts, the
+   ``histogram`` analog, msb_64.c:701-738) + XLA prefix sums that turn
+   counts into exact per-(tile, range) destination rows and phantom-pad
+   values (the deterministic replacement for atomic block claiming,
+   msb_64.c:2027,2056) + ``route_level`` (sort tiles in VMEM, DMA
+   row-aligned runs to their precomputed destinations).
+3. TERMINAL (``terminal_write``): per final bucket, in-VMEM sort + trim +
+   exact-position splice (local sort P12 + inject P11).
+
+The only overflow left is a terminal bucket exceeding the static VMEM
+capacity class — detected in-jit from the exact counts, fetched with the
+result; the engine retries with finer buckets and a fresh sample seed,
+then falls back to XLA.
+
+Value planes: ``vals`` is a tuple of 0..2 uint32 planes carried alongside
+the keys (rids, or (hi, lo) words of u64 rids/keys).  Ordering is
+lexicographic by (key, *vals) — a stable key sort when vals[0] is the
+original index, a full u64 sort when the planes are (hi, lo) words.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SortConfig
+from ..utils.timing import PhaseTimer
+from .engine_v3 import (_quantile_bounds, _bias_np, _ceil_div,
+                        _shape_class, _pack_tables, _unpack)
+from .kernels_v4 import (LANES, CHUNK_ROWS, hist_level, route_level,
+                         terminal_write)
+
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+# ============================================================== sample
+
+@functools.partial(jax.jit, static_argnames=("ssz", "nbq", "salt"))
+def _sample_stats(keys: jax.Array, *, ssz: int, nbq: int, salt: int):
+    """Element-granular random sample -> sorted -> equal-depth quantile
+    picks with left/right ranks (a few KB fetched, not the sample).
+
+    ``salt`` folds the retry depth into the PRNG key so a retry draws a
+    *fresh* sample (the reference reseeds per thread/run,
+    msb_64.c:1511-1521; v3's size-only seed meant retries re-drew the
+    identical sample)."""
+    n = keys.shape[0]
+    rows = max(n // LANES, 1)
+    neff = max(1, min(ssz, rows))
+    if rows <= 1 or neff >= rows:
+        s = jnp.sort(keys[: min(n, ssz)])
+    else:
+        key = jax.random.key((n & 0xFFFFFF) ^ (salt * 2654435761 & 0x7FFFFFFF))
+        idx = jax.random.randint(key, (neff,), 0, rows, dtype=jnp.int32)
+        picked = jnp.take(
+            keys[: rows * LANES].reshape(rows, LANES), idx, axis=0
+        )
+        lane = (idx * 89 + jnp.arange(neff, dtype=jnp.int32) * 37) % LANES
+        s = jnp.sort(
+            jnp.take_along_axis(picked, lane[:, None], axis=1).reshape(-1)
+        )
+    S = s.shape[0]
+    pos = np.clip(
+        (np.arange(1, nbq + 1, dtype=np.int64) * S) // nbq - 1, 0, S - 1
+    ).astype(np.int32)
+    picks = jnp.take(s, jnp.asarray(pos))
+    picks = picks.at[-1].set(jnp.uint32(0xFFFFFFFF))
+    left = jnp.searchsorted(s, picks, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(s, picks, side="right").astype(jnp.int32)
+    picks_i = jax.lax.bitcast_convert_type(
+        picks.astype(jnp.uint32), jnp.int32
+    )
+    return jnp.stack([picks_i, left, right])
+
+
+# ============================================================== plan
+
+@dataclasses.dataclass
+class _PlanV4:
+    """Host-side static structure: geometry + bound tables (no caps)."""
+    n: int
+    nplanes: int
+    prefix_bits: int          # constant top bits per final bucket (hybrid
+                              # radix delimiters; 0 = sample-only bounds)
+    rmax: int
+    pitch: int
+    sort_rows: int
+    cap_rows: int
+    two_level: bool
+    ntiles1: int
+    t2max: int
+    arena1_rows: int
+    arena2_rows: int
+    out_rows: int
+    nb_total: int
+    # packed tables (all int32)
+    l1_meta: np.ndarray       # ((ntiles1+1)*3,)
+    l1_bounds: np.ndarray     # (rmax,) biased
+    l2_bounds: np.ndarray     # (rmax, rmax) biased
+    group_len: np.ndarray     # (rmax,)
+    drop1: np.ndarray         # (rmax,) 1 = heavy value dropped at L1
+    drop2: np.ndarray         # (rmax*rmax,) 1 = dropped at L2
+    term_child: np.ndarray    # (nb_total,) child idx or -1-gi for L1 drop
+    term_mode: np.ndarray     # (nb_total,) 0 sort / 1 value-fill
+    term_fill: np.ndarray     # (nb_total,) biased fill value
+    term_valid: np.ndarray    # (nb_total,) 0/1
+
+
+def _geometry(n: int, nplanes: int, cfg: SortConfig):
+    if cfg.v3_cap_rows:
+        cap_rows = cfg.v3_cap_rows
+    else:
+        cap_rows = 1024 if nplanes == 1 else 512
+        if n >= (1 << 28):
+            cap_rows *= 2
+    target = int(cap_rows * LANES * 0.60)
+    nb_want = max(1, _ceil_div(n, target))
+    return cap_rows, nb_want
+
+
+def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
+                 cfg: SortConfig, nb_mult: float = 1.0,
+                 force_two_level: bool = False,
+                 nb_total_min: int = 1) -> _PlanV4:
+    """Build the host-side plan.  ``force_two_level``/``nb_total_min``
+    pin the static geometry so per-shard plans built from different
+    stats stay shape-compatible under one SPMD program (dsort)."""
+    cap_rows, nb_want = _geometry(n, nplanes, cfg)
+    nb_want = max(1, int(nb_want * nb_mult))
+    keys_only = nplanes == 1
+
+    heavy_frac = max(0.3 / nb_want, 0.002)
+    bounds, est, is_heavy = _quantile_bounds(
+        stats[0].view(np.uint32), stats[1], stats[2], S, heavy_frac,
+        cap_frac=1.0 / nb_want,
+    )
+    prefix_bits = 0
+    if cfg.use_sample_splitters and nb_want >= 16:
+        # hybrid delimiter set (msb_64.c:1545-1564): merge
+        # radix-equidistant bounds ((p+1 << shift) - 1) into the sample
+        # quantiles.  Every final bucket then lies inside one radix cell
+        # — the constant-top-bits invariant (asserted msb_64.c:2190-2192)
+        # — bounding bucket key-width against sample misses and letting
+        # local passes ignore the fixed prefix (the 58-bit trick, :2242).
+        prefix_bits = min(8, max(2, int(math.log2(nb_want // 4))))
+        nrad = 1 << prefix_bits
+        shift = 32 - prefix_bits
+        rad = ((np.arange(1, nrad + 1, dtype=np.uint64) << shift)
+               - np.uint64(1))
+        heavy_set = set(bounds[is_heavy].astype(np.uint64).tolist())
+        merged = np.unique(
+            np.concatenate([bounds.astype(np.uint64), rad])
+        )
+        lo = np.concatenate([[-1], merged[:-1].astype(np.int64)])
+        is_heavy = np.array(
+            [int(v) in heavy_set and int(v) == int(l) + 1
+             for v, l in zip(merged, lo)], bool,
+        )
+        bounds = merged.astype(np.uint32)
+    nb = len(bounds)
+    rmax = cfg.v3_rmax or (
+        32 if nb <= 1024 else (
+            48 if nb <= 2304 else (64 if nb <= 4096 else 96))
+    )
+    sort_rows = cfg.v3_sort_rows
+    pitch = sort_rows - rmax
+    assert pitch > 0, (sort_rows, rmax)
+    if nb > rmax * rmax:
+        raise ValueError(f"too many buckets {nb} for topology")
+
+    two_level = nb > rmax or force_two_level
+    per = _ceil_div(nb, rmax) if two_level else 1
+    groups = [
+        list(range(i, min(i + per, nb))) for i in range(0, nb, per)
+    ]
+    ng = len(groups)
+    rows_in = _ceil_div(n, LANES)
+    ntiles1 = _ceil_div(rows_in, pitch)
+
+    # ---- L1 meta / bounds
+    l1_meta = np.zeros(((ntiles1 + 1) * 3,), np.int32)
+    for t in range(ntiles1):
+        l1_meta[t * 3 + 0] = 0
+        l1_meta[t * 3 + 1] = t * pitch
+        l1_meta[t * 3 + 2] = min(n - t * pitch * LANES, pitch * LANES)
+    l1_bounds_u = np.full(rmax, int(U32_MAX), np.uint64)
+    for gi, g in enumerate(groups):
+        l1_bounds_u[gi] = bounds[g[-1]]
+
+    # ---- L2 bounds per group; drop flags; terminal tables
+    l2_bounds_u = np.full((rmax, rmax), int(U32_MAX), np.uint64)
+    drop1 = np.zeros(rmax, np.int32)
+    drop2 = np.zeros(rmax * rmax, np.int32)
+    term_child, term_mode, term_fill = [], [], []
+    for gi, g in enumerate(groups):
+        if keys_only and len(g) == 1 and bool(is_heavy[g[0]]):
+            # heavy single-value group: never stored, value-filled at the
+            # terminal from its exact L1 count (msb_64.c:1313-1320 analog)
+            drop1[gi] = 1
+            l2_bounds_u[gi, :] = bounds[g[0]]
+            term_child.append(-1 - gi)
+            term_mode.append(1)
+            term_fill.append(int(bounds[g[0]]))
+            continue
+        for sj, j in enumerate(g):
+            # terminal child index: L2-flattened when two levels run,
+            # the L1 child itself in one-level mode
+            c = gi * rmax + sj if two_level else gi
+            l2_bounds_u[gi, sj] = bounds[j]
+            if keys_only and is_heavy[j] and len(g) > 1 and two_level:
+                drop2[c] = 1
+                term_child.append(c)
+                term_mode.append(1)
+                term_fill.append(int(bounds[j]))
+            else:
+                term_child.append(c)
+                term_mode.append(0)
+                term_fill.append(0)
+        for sj in range(len(g), rmax):
+            l2_bounds_u[gi, sj] = l2_bounds_u[gi, len(g) - 1]
+    for gi in range(ng, rmax):
+        l2_bounds_u[gi, :] = int(U32_MAX)
+
+    nb_total = max(_shape_class(max(len(term_child), 1)), nb_total_min)
+    term_valid = [1] * len(term_child)
+    while len(term_child) < nb_total:
+        term_child.append(0)
+        term_mode.append(0)
+        term_fill.append(0)
+        term_valid.append(0)
+
+    # ---- static arena bounds (exact packing + pads + chunk gaps)
+    nchild2 = rmax * rmax
+    rows1_max = rows_in + ntiles1 * rmax          # data + phantom pads
+    arena1_rows = _shape_class(
+        rows1_max + rmax * CHUNK_ROWS + pitch + CHUNK_ROWS
+    )
+    t2max = _ceil_div(rows1_max, pitch) + (rmax if two_level else 0)
+    t2max = max(t2max, 1)
+    rows2_max = rows1_max + t2max * rmax
+    arena2_rows = _shape_class(
+        rows2_max + nchild2 * CHUNK_ROWS + cap_rows + CHUNK_ROWS
+    ) if two_level else 8
+    out_rows = rows_in + 2 * CHUNK_ROWS + 2
+
+    fill_biased = _bias_np(
+        np.array(term_fill, np.int64).astype(np.uint32)
+    )
+    return _PlanV4(
+        n=n, nplanes=nplanes, prefix_bits=prefix_bits, rmax=rmax,
+        pitch=pitch,
+        sort_rows=sort_rows, cap_rows=cap_rows, two_level=two_level,
+        ntiles1=ntiles1, t2max=t2max, arena1_rows=arena1_rows,
+        arena2_rows=arena2_rows, out_rows=out_rows, nb_total=nb_total,
+        l1_meta=l1_meta,
+        l1_bounds=_bias_np(l1_bounds_u.astype(np.uint32)),
+        l2_bounds=_bias_np(
+            l2_bounds_u.reshape(-1).astype(np.uint32)
+        ).reshape(rmax, rmax),
+        group_len=np.array(
+            [max(len(g), 1) for g in groups] + [1] * (rmax - ng),
+            np.int32,
+        ),
+        drop1=drop1,
+        drop2=drop2,
+        term_child=np.array(term_child, np.int32),
+        term_mode=np.array(term_mode, np.int32),
+        term_fill=fill_biased,
+        term_valid=np.array(term_valid, np.int32),
+    )
+
+
+def _plan_tables(plan: _PlanV4):
+    return dict(
+        l1_meta=plan.l1_meta, l1_bounds=plan.l1_bounds,
+        l2_bounds=plan.l2_bounds, group_len=plan.group_len,
+        drop1=plan.drop1, drop2=plan.drop2,
+        term_child=plan.term_child, term_mode=plan.term_mode,
+        term_fill=plan.term_fill, term_valid=plan.term_valid,
+    )
+
+
+# ============================================================== glue
+
+def _level_tables(h, keep, gap_rows):
+    """Exact per-(tile, range) destination rows from a count matrix.
+
+    h: (ntiles, rmax) TRUE counts (single parent); keep: (rmax,) 0/1 —
+    dropped (heavy value-filled) ranges still occupy their run inside
+    every sorted tile, so in-tile offsets use the true counts, but their
+    runs are never stored: their dst is -1 (the route kernel's skip
+    marker) and they contribute no arena rows.
+
+    Children are packed [start_c, start_c + rows_c) with a ``gap_rows``
+    slack gap after each child absorbing store-chunk overshoot."""
+    pads = (-h) % LANES
+    rrows = (h + pads) // LANES
+    stored = rrows * keep[None, :]
+    rows_c = jnp.sum(stored, axis=0)
+    alloc = rows_c + gap_rows
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(alloc, dtype=jnp.int32)[:-1]]
+    )
+    excl = jnp.cumsum(stored, axis=0, dtype=jnp.int32) - stored
+    dst = jnp.where(keep[None, :] != 0, start[None, :] + excl, -1)
+    return pads * keep[None, :], rows_c, start, dst
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "n", "nplanes", "nlex", "rmax", "pitch", "cap_rows",
+        "ntiles1", "t2max", "arena1_rows", "arena2_rows", "out_rows",
+        "two_level", "interpret", "debug",
+    ),
+)
+def _pipeline_v4(
+    planes, packed,
+    *, layout, n: int, nplanes: int, nlex: int, rmax: int, pitch: int,
+    cap_rows: int, ntiles1: int, t2max: int, arena1_rows: int,
+    arena2_rows: int, out_rows: int, two_level: bool, interpret: bool,
+    debug: bool = False,
+):
+    tb = _unpack(packed, layout)
+    l1_meta = tb["l1_meta"]
+    l1_bounds, l2_bounds = tb["l1_bounds"], tb["l2_bounds"]
+    group_len = tb["group_len"]
+    drop1, drop2 = tb["drop1"], tb["drop2"]
+    term_child, term_mode = tb["term_child"], tb["term_mode"]
+    term_fill, term_valid = tb["term_fill"], tb["term_valid"] != 0
+    nchild2 = rmax * rmax
+
+    def _i32(x):
+        return (jax.lax.bitcast_convert_type(x, jnp.int32)
+                if x.dtype != jnp.int32 else x)
+
+    rows_in = ntiles1 * pitch
+    pad = rows_in * LANES - n
+    planes2d = tuple(
+        jnp.concatenate([_i32(p), jnp.zeros((pad,), jnp.int32)])
+        .reshape(rows_in, LANES) for p in planes
+    )
+
+    # ---------------- level 1
+    hist1 = hist_level(
+        planes2d[0], l1_meta, l1_bounds, ntiles1, pitch, rmax,
+        bias_input=True, interpret=interpret,
+    )
+    real1 = jnp.sum(hist1, axis=0)              # pre-drop true counts
+    pads1, rows_c1, start1, dst1 = _level_tables(
+        hist1, 1 - drop1, CHUNK_ROWS
+    )
+    # pad values cycle over the child's next-level sub-bounds so inherited
+    # phantoms spread across that level's children (kernels_v3 sinks)
+    tt = jnp.arange(ntiles1, dtype=jnp.int32)[:, None]
+    jsink = tt % jnp.maximum(group_len, 1)[None, :]       # (ntiles1, rmax)
+    if two_level:
+        padv1 = l2_bounds[jnp.arange(rmax)[None, :], jsink]
+        g_sink = jnp.arange(rmax, dtype=jnp.int32)[None, :] * rmax + jsink
+        pads1_into = jax.ops.segment_sum(
+            pads1.reshape(-1), g_sink.reshape(-1), num_segments=nchild2
+        )
+    else:
+        padv1 = jnp.broadcast_to(l1_bounds[None, :], (ntiles1, rmax))
+
+    a1 = route_level(
+        planes2d, l1_meta, hist1, dst1, padv1, arena1_rows, ntiles1,
+        pitch, rmax, nlex=nlex, bias_input=True, interpret=interpret,
+    )
+
+    dbg = {}
+    if debug:
+        dbg.update(hist1=hist1, start1=start1, rows_c1=rows_c1,
+                   a1=a1[0])
+
+    if not two_level:
+        reals_t = jnp.where(
+            term_child >= 0,
+            jnp.take(real1, jnp.clip(term_child, 0, rmax - 1)),
+            jnp.take(real1, jnp.clip(-1 - term_child, 0, rmax - 1)),
+        )
+        occ_t = jnp.where(
+            term_child >= 0,
+            jnp.take(rows_c1, jnp.clip(term_child, 0, rmax - 1)), 0
+        )
+        src_t = jnp.where(
+            term_child >= 0,
+            jnp.take(start1, jnp.clip(term_child, 0, rmax - 1)), 0
+        )
+        final, over, btbl = _finish(
+            a1, reals_t, occ_t, src_t, term_mode, term_fill,
+            term_valid, n, cap_rows, out_rows, nlex, interpret)
+        if debug:
+            dbg["btbl"] = btbl
+        return final, over, dbg
+
+    # ---------------- level 2
+    # traced tile table over the exactly-packed L1 children
+    tc = _ceil_div(rows_c1, pitch)
+    tbase = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(tc, dtype=jnp.int32)[:-1]]
+    )
+    total2 = tbase[-1] + tc[-1]
+    ti = jnp.arange(t2max, dtype=jnp.int32)
+    p_of = jnp.clip(
+        jnp.searchsorted(tbase, ti, side="right").astype(jnp.int32) - 1,
+        0, rmax - 1,
+    )
+    jloc = ti - jnp.take(tbase, p_of)
+    live_t = ti < total2
+    src_row2 = jnp.where(
+        live_t, jnp.take(start1, p_of) + jloc * pitch, 0
+    )
+    nel2 = jnp.where(
+        live_t,
+        jnp.clip(
+            jnp.take(rows_c1, p_of) * LANES - jloc * pitch * LANES,
+            0, pitch * LANES,
+        ),
+        0,
+    )
+    parent2 = jnp.where(live_t, p_of, 0)
+    meta2 = jnp.concatenate([
+        jnp.stack([parent2, src_row2, nel2], axis=1).reshape(-1),
+        jnp.zeros((3,), jnp.int32),
+    ])
+
+    hist2 = hist_level(
+        a1[0], meta2, l2_bounds.reshape(-1), t2max, pitch, rmax,
+        bias_input=False, interpret=interpret,
+    )
+    g2 = parent2[:, None] * rmax + jnp.arange(rmax, dtype=jnp.int32)[None, :]
+    cnt2 = jax.ops.segment_sum(
+        hist2.reshape(-1), g2.reshape(-1), num_segments=nchild2
+    )
+    real2 = cnt2 - pads1_into
+    keep2 = 1 - jnp.take(drop2, g2.reshape(-1)).reshape(g2.shape)
+    rrows2 = (hist2 + ((-hist2) % LANES)) // LANES    # TRUE rows
+    stored2 = rrows2 * keep2
+    rows_c2 = jax.ops.segment_sum(
+        stored2.reshape(-1), g2.reshape(-1), num_segments=nchild2
+    )
+    alloc2 = rows_c2 + CHUNK_ROWS
+    start2 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(alloc2, dtype=jnp.int32)[:-1]]
+    )
+    excl2 = jnp.cumsum(stored2, axis=0, dtype=jnp.int32) - stored2
+    base2 = jnp.take(excl2, jnp.take(tbase, parent2), axis=0)
+    dst2 = jnp.where(
+        keep2 != 0,
+        jnp.take(start2, g2.reshape(-1)).reshape(g2.shape)
+        + excl2 - base2,
+        -1,
+    )
+    padv2 = jnp.take(
+        l2_bounds.reshape(-1), g2.reshape(-1)
+    ).reshape(g2.shape)
+
+    a2 = route_level(
+        a1, meta2, hist2, dst2, padv2, arena2_rows, t2max,
+        pitch, rmax, nlex=nlex, bias_input=False, interpret=interpret,
+    )
+
+    cidx = jnp.clip(term_child, 0, nchild2 - 1)
+    gidx = jnp.clip(-1 - term_child, 0, rmax - 1)
+    reals_t = jnp.where(
+        term_child >= 0, jnp.take(real2, cidx), jnp.take(real1, gidx)
+    )
+    occ_t = jnp.where(term_child >= 0, jnp.take(rows_c2, cidx), 0)
+    src_t = jnp.where(term_child >= 0, jnp.take(start2, cidx), 0)
+    final, over, btbl = _finish(
+        a2, reals_t, occ_t, src_t, term_mode, term_fill,
+        term_valid, n, cap_rows, out_rows, nlex, interpret)
+    if debug:
+        dbg.update(hist2=hist2, real2=real2, start2=start2,
+                   rows_c2=rows_c2, a2=a2[0], btbl=btbl)
+    return final, over, dbg
+
+
+def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
+            term_valid, n, cap_rows, out_rows, nlex, interpret):
+    reals_t = jnp.where(term_valid, reals_t, 0).astype(jnp.int32)
+    occ_t = occ_t.astype(jnp.int32)
+    over = jnp.any(
+        term_valid & (term_mode == 0) & (occ_t > cap_rows)
+    ).astype(jnp.int32)
+    reals_t = jnp.where(
+        term_mode == 0, jnp.minimum(reals_t, occ_t * LANES), reals_t
+    )
+    ends = jnp.minimum(jnp.cumsum(reals_t), n).astype(jnp.int32)
+    out_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    reals_t = (ends - out_off).astype(jnp.int32)
+    zeros = jnp.zeros_like(reals_t)
+    btbl = jnp.stack(
+        [src_t, occ_t, reals_t, term_mode, term_fill, out_off,
+         zeros, zeros], axis=1,
+    )
+    outs = terminal_write(
+        src_planes, btbl, out_rows, cap_rows, nlex=nlex,
+        unbias_output=True, interpret=interpret,
+    )
+    final = tuple(
+        jax.lax.bitcast_convert_type(o.reshape(-1)[:n], jnp.uint32)
+        for o in outs
+    )
+    return final, over, btbl
+
+
+# ============================================================== debug
+
+class InvariantError(AssertionError):
+    """An in-situ pipeline invariant failed (debug_checks mode)."""
+
+
+def _debug_validate(plan: _PlanV4, dbg: dict, over: int) -> None:
+    """The ``#ifdef BG`` in-situ check suite (msb_64.c:474-495, 329-349,
+    2185-2197 analog), run host-side on debug outputs fetched with the
+    result.  Raises ``InvariantError`` with a precise message instead of
+    letting corrupt metadata trap the device.
+
+    Checks: histogram totals and non-negativity (classifier), per-child
+    arena range purity (check_range_partition), terminal offset monotony
+    + coverage of exactly n elements, and capacity accounting vs the
+    overflow flag."""
+    d = {k: np.asarray(jax.device_get(v)) for k, v in dbg.items()}
+    n, rmax = plan.n, plan.rmax
+
+    h1 = d["hist1"]
+    if h1.min() < 0:
+        raise InvariantError(
+            f"L1 histogram has negative counts (min {h1.min()}): "
+            "non-monotone L1 bounds")
+    if int(h1.sum()) != n:
+        raise InvariantError(
+            f"L1 histogram total {int(h1.sum())} != n {n}")
+
+    def _purity(arena, start, rows_c, bounds, lo_bounds, label):
+        # every stored row of child c must lie in (lo, hi] (biased i32);
+        # pads are in-range by construction so they pass too
+        for c in range(len(start)):
+            rc = int(rows_c[c])
+            if rc == 0:
+                continue
+            seg = arena[int(start[c]): int(start[c]) + rc]
+            hi, lo = int(bounds[c]), int(lo_bounds[c])
+            if seg.max() > hi or (lo > -(2 ** 31) and seg.min() <= lo):
+                raise InvariantError(
+                    f"{label} child {c}: keys outside "
+                    f"({lo}, {hi}] (min {seg.min()} max {seg.max()})")
+
+    lob1 = np.concatenate([[-(2 ** 31)], plan.l1_bounds[:-1]])
+    keep1 = (1 - plan.drop1).astype(bool)
+    _purity(d["a1"], d["start1"][keep1], d["rows_c1"][keep1],
+            plan.l1_bounds[keep1], lob1[keep1], "L1")
+
+    if "a2" in d:
+        h2 = d["hist2"]
+        if h2.min() < 0:
+            raise InvariantError(
+                f"L2 histogram has negative counts (min {h2.min()}): "
+                "non-monotone L2 bounds")
+        b2 = plan.l2_bounds.reshape(-1)
+        lob2 = np.concatenate([[-(2 ** 31)], b2[:-1]]).copy()
+        lob2[::rmax] = -(2 ** 31)       # each group restarts at -inf...
+        g_lo = np.repeat(
+            np.concatenate([[-(2 ** 31)], plan.l1_bounds[:-1]]), rmax
+        )
+        lob2 = np.maximum(lob2, g_lo)   # ...bounded below by the parent
+        live2 = d["rows_c2"] > 0
+        _purity(d["a2"], d["start2"][live2], d["rows_c2"][live2],
+                b2[live2], lob2[live2], "L2")
+
+    btbl = d["btbl"]
+    valid = plan.term_valid.astype(bool)
+    offs, reals = btbl[valid, 5], btbl[valid, 2]
+    if np.any(np.diff(offs) != reals[:-1]):
+        raise InvariantError("terminal out_off not monotone-contiguous")
+    if len(offs) and int(offs[-1] + reals[-1]) != n:
+        raise InvariantError(
+            f"terminal coverage {int(offs[-1] + reals[-1])} != n {n}")
+    occ, mode = btbl[valid, 1], btbl[valid, 3]
+    if not over and np.any((mode == 0) & (occ > plan.cap_rows)):
+        raise InvariantError(
+            "bucket occupancy exceeds cap_rows but overflow flag unset")
+
+
+# ============================================================== driver
+
+def sort_v4(
+    keys: jax.Array,
+    vals: Tuple[jax.Array, ...] = (),
+    cfg: Optional[SortConfig] = None,
+    timer: Optional[PhaseTimer] = None,
+    _nb_mult: float = 1.0,
+    _depth: int = 0,
+):
+    """Sort uint32 keys (with 0..2 uint32 payload planes) on one chip.
+
+    Ordering is lexicographic by (key, *vals): a stable key sort when
+    vals[0] is the original index; a full uint64 sort when the planes are
+    (hi, lo) words; rid planes ride along exactly.
+    """
+    cfg = cfg or SortConfig()
+    timer = timer or PhaseTimer(enabled=False)
+    n = int(keys.shape[0])
+    if n < (1 << 16) and _depth == 0:
+        return _xla_fallback(keys, vals)
+    with jax.enable_x64(False):
+        return _sort_v4_body(keys, vals, cfg, timer, _nb_mult, _depth, n)
+
+
+def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
+    nplanes = 1 + len(vals)
+    interp = cfg.interpret
+
+    with timer.phase("sample"):
+        ssz = int(min(max(cfg.sample_rate * n, 4096), cfg.sample_cap))
+        ssz = min(ssz, n)
+        _, nb_want = _geometry(n, nplanes, cfg)
+        stats = np.asarray(jax.device_get(_sample_stats(
+            keys, ssz=ssz, nbq=4 * max(1, int(nb_want * nb_mult)),
+            salt=depth,
+        )))
+        rows = max(n // LANES, 1)
+        neff = max(1, min(ssz, rows))
+        S = min(n, ssz) if (rows <= 1 or neff >= rows) else neff
+        try:
+            plan = make_plan_v4(n, stats, S, nplanes, cfg, nb_mult)
+        except ValueError:
+            return _xla_fallback(keys, vals)
+
+    with timer.phase("part_blocks"):
+        packed, layout = _pack_tables_v4(plan)
+        planes = (keys,) + tuple(vals)
+        final, over, dbg = _pipeline_v4(
+            planes, jnp.asarray(packed),
+            layout=layout, n=n, nplanes=nplanes, nlex=nplanes - 1,
+            rmax=plan.rmax, pitch=plan.pitch, cap_rows=plan.cap_rows,
+            ntiles1=plan.ntiles1, t2max=plan.t2max,
+            arena1_rows=plan.arena1_rows, arena2_rows=plan.arena2_rows,
+            out_rows=plan.out_rows, two_level=plan.two_level,
+            interpret=interp, debug=cfg.debug_checks,
+        )
+        timer.sync(final[0])
+
+    over = int(jax.device_get(over))
+    if cfg.debug_checks:
+        _debug_validate(plan, dbg, over)
+    if over:
+        if depth < 2:
+            return _sort_v4_body(keys, vals, cfg, timer, nb_mult * 2.0,
+                                 depth + 1, n)
+        return _xla_fallback(keys, vals)
+    return final[0], tuple(final[1:])
+
+
+def _pack_tables_v4(plan: _PlanV4):
+    tables = _plan_tables(plan)
+    layout = []
+    chunks = []
+    off = 0
+    for name, arr in tables.items():
+        a = np.ascontiguousarray(arr, dtype=np.int32)
+        layout.append((name, off, a.shape))
+        chunks.append(a.reshape(-1))
+        off += a.size
+    return np.concatenate(chunks), tuple(layout)
+
+
+def _xla_fallback(keys, vals):
+    """Correctness net for adversarial inputs the plan cannot fit.
+    Matches the engine contract: lexicographic by (key, *vals)."""
+    if vals:
+        res = jax.lax.sort((keys,) + tuple(vals), num_keys=1 + len(vals))
+        return res[0], tuple(res[1:])
+    return jnp.sort(keys), ()

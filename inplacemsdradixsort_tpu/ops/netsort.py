@@ -97,6 +97,31 @@ def _stage_pairs(key, val, k, desc):
     )
 
 
+def _stage_multi(planes, nlex, k, desc):
+    """One compare-exchange stage over ``planes`` (tuple of equal-shape
+    int32 arrays).  Planes [0, nlex] participate in the lexicographic
+    comparison (plane 0 = the key, most significant first); the rest ride
+    along as payload.
+
+    When two partners tie on every compared plane, each slot must keep its
+    OWN element: deciding by the comparison alone would make both slots
+    resolve to the same source and duplicate/lose payload in the
+    uncompared planes.
+    """
+    key = planes[0]
+    upper = _flat_bit(key.shape, k)
+    partners = tuple(_partner(p, k, upper) for p in planes)
+    less = key < partners[0]
+    eq = key == partners[0]
+    for j in range(1, nlex + 1):
+        less = less | (eq & (planes[j] < partners[j]))
+        eq = eq & (planes[j] == partners[j])
+    keep = eq | (less == (upper == desc))
+    return tuple(
+        jnp.where(keep, p, pp) for p, pp in zip(planes, partners)
+    )
+
+
 def net_sort(
     key: jax.Array, val: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -123,6 +148,45 @@ def net_sort(
             else:
                 key, val = _stage_pairs(key, val, k, desc)
     return key, val
+
+
+def net_sort_multi(
+    planes: Tuple[jax.Array, ...], nlex: Optional[int] = None
+) -> Tuple[jax.Array, ...]:
+    """Sort (rows, 128) blocks ascending in flat C-order by the
+    lexicographic order of ``planes[: nlex + 1]`` (plane 0 = most
+    significant key word); remaining planes are carried as payload.
+
+    ``nlex`` defaults to all planes — full lexicographic order, which is a
+    stable key sort when the trailing plane is the original index, and a
+    multiword (e.g. u64) sort when the planes are (hi, lo) words.
+    All planes must be int32 in the sign-biased encoding.
+    """
+    key = planes[0]
+    rows, lanes = key.shape
+    assert lanes == LANES, key.shape
+    total = rows * lanes
+    logn = int(math.log2(total))
+    assert (1 << logn) == total, "block size must be a power of two"
+    if nlex is None:
+        nlex = len(planes) - 1
+    assert 0 <= nlex <= len(planes) - 1
+
+    if len(planes) == 1:
+        k, _ = net_sort(key)
+        return (k,)
+    if len(planes) == 2 and nlex == 1:
+        k, v = net_sort(key, planes[1])
+        return (k, v)
+
+    for j in range(1, logn + 1):
+        if j == logn:
+            desc = jnp.zeros(key.shape, jnp.bool_)
+        else:
+            desc = _flat_bit(key.shape, j)
+        for k in range(j - 1, -1, -1):
+            planes = _stage_multi(planes, nlex, k, desc)
+    return planes
 
 
 def net_merge(
