@@ -81,6 +81,81 @@ def mt64_stream(seed: int, n: int) -> np.ndarray:
     return MT19937_64(seed).random_raw(n)
 
 
+_U32 = (1 << 32) - 1
+
+
+class MT19937_32:
+    """32-bit Mersenne Twister, identical stream to reference rand32_*
+    (rand.c:88-131).
+
+    The reference variant is NON-standard: seeding multiplies by
+    0x6c078965 without the usual ``+ i`` term (rand.c:98-100), and the
+    state carries 625 words, the last mirroring the updated ``n[0]``
+    during the second twist loop (rand.c:115).  Both quirks are
+    reproduced exactly.
+    """
+
+    _N = 624
+    _M = 397
+    _MAT = np.uint32(0x9908B0DF)
+    _UP = np.uint32(0x80000000)
+    _LOW = np.uint32(0x7FFFFFFF)
+
+    def __init__(self, seed: int):
+        n = np.zeros(625, dtype=np.uint32)
+        n[0] = np.uint32(seed & _U32)
+        for i in range(623):
+            prev = int(n[i])
+            n[i + 1] = np.uint32(
+                (0x6C078965 * (prev ^ (prev >> 30))) & _U32
+            )
+        self._n = n
+
+    def _twist(self):
+        n = self._n
+        old = n.copy()
+        one = np.uint32(1)
+
+        def mix(y, src):
+            return src ^ (y >> one) ^ (self._MAT * (y & one))
+
+        # pass 1: i in [0, 227)  (rand.c:108-113)
+        y = (old[0:227] & self._UP) + (old[1:228] & self._LOW)
+        n[0:227] = mix(y, old[397:624])
+        n[624] = n[0]                                # rand.c:115
+        # pass 2a: i in [227, 454) — n[i-227] already updated by pass 1
+        y = (old[227:454] & self._UP) + (old[228:455] & self._LOW)
+        n[227:454] = mix(y, n[0:227])
+        # pass 2b: i in [454, 624) — n[i+1] at i=623 is the new n[624]
+        nxt = np.concatenate([old[455:624], n[624:625]])
+        y = (old[454:624] & self._UP) + (nxt & self._LOW)
+        n[454:624] = mix(y, n[227:397])
+
+    def next_block(self) -> np.ndarray:
+        """All 624 tempered outputs of one twist (rand.c:124-130)."""
+        self._twist()
+        y = self._n[:624].copy()
+        y ^= y >> np.uint32(11)
+        y ^= (y << np.uint32(7)) & np.uint32(0x9D2C5680)
+        y ^= (y << np.uint32(15)) & np.uint32(0xEFC60000)
+        y ^= y >> np.uint32(18)
+        return y
+
+    def random_raw(self, n: int) -> np.ndarray:
+        blocks = []
+        got = 0
+        while got < n:
+            b = self.next_block()
+            blocks.append(b)
+            got += b.size
+        return np.concatenate(blocks)[:n]
+
+
+def mt32_stream(seed: int, n: int) -> np.ndarray:
+    """First n outputs of the reference rand32 stream (rand.c:104-131)."""
+    return MT19937_32(seed).random_raw(n)
+
+
 def mulhi_index(rand64: np.ndarray, size: int) -> np.ndarray:
     """(rand64 * size) >> 64 index scaling (msb_64.c:178-186).
 
