@@ -11,16 +11,21 @@ replaced by SPMD collectives:
     (partition_keys :1037-1142)         replicated jnp.sort
   splitters + numa_dest (:1545-1613)  equal-depth shard bounds from the
                                         sorted sample (splitters module)
-  block exchange via atomics +        padded ragged all_to_all with
-    remote memcpy (:1672-2158)          deterministic counts from an
-                                        all-gathered histogram
+  block exchange via atomics +        exact count-sized all_to_all: the
+    remote memcpy (:1672-2158)          (src, dst) count matrix is
+                                        computed and fetched first, so
+                                        buffers are allocated to the
+                                        exact class — no fudge, no
+                                        overflow, no retry
   20 pthread barriers                 implicit XLA program order
-  fudge over-allocation (:1574)       exchange_fudge padded slots +
-                                        overflow flag -> driver retry
-
-The exchange is exact: send counts are all-gathered, so every shard knows
-every (src, dst) segment size — the deterministic replacement for the
-reference's atomic block claiming.
+  two-level NUMA x threads topology   two-level hosts x chips mesh: all
+    (schedule_threads :206-237)         collectives run over the combined
+                                        (host, chip) axes so XLA routes
+                                        DCN across hosts and ICI inside
+  local MSD radix sort (P12)          the v4 engine under shard_map: one
+                                        shared static geometry, per-shard
+                                        bound tables planned on host from
+                                        a batched stats fetch
 
 Output: per-shard sorted runs in shard order (shard i holds keys <= shard
 i+1's), the reference's per-NUMA-node output contract (msb_64.h:37).
@@ -28,6 +33,7 @@ i+1's), the reference's per-NUMA-node output contract (msb_64.h:37).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -42,21 +48,45 @@ from ..ops import splitters as sp
 from ..utils.timing import PhaseTimer
 
 SENT32 = np.uint32(0xFFFFFFFF)
+LANES = 128
 
 
 class DSortResult(NamedTuple):
     keys: jax.Array        # (S, cap) sharded; row i = shard i's sorted run
     rids: Optional[jax.Array]
     counts: jax.Array      # (S,) valid elements per shard
-    overflow: jax.Array    # () bool — capacity exceeded, result invalid
+    overflow: jax.Array    # () bool — kept for API compat; always False
     times: list
 
 
-def _sample_bounds(keys, num_shards: int, sample_per_shard: int, seed,
-                   axis: str):
+def _axes(mesh: Mesh):
+    """Collective axis spec: the combined tuple of all mesh axes — XLA
+    lowers the collective hierarchically (ICI inside a host axis, DCN
+    across), the two-level NUMAxthread analog (msb_64.c:206-237)."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
+
+
+def _my_shard(mesh: Mesh):
+    """Combined shard index in axis-major order (matches all_gather's
+    stacking order over the axis tuple)."""
+    names = tuple(mesh.axis_names)
+    idx = lax.axis_index(names[0])
+    for a in names[1:]:
+        idx = idx * mesh.shape[a] + lax.axis_index(a)
+    return idx
+
+
+def _data_spec(mesh: Mesh):
+    return P(tuple(mesh.axis_names))
+
+
+def _sample_bounds(keys, mesh, num_shards: int, sample_per_shard: int,
+                   seed):
     """P1-P3: per-shard sample -> all_gather -> replicated sort ->
-    equal-depth shard boundary splitters."""
-    me = lax.axis_index(axis)
+    equal-depth, duplicate-aware shard boundary splitters."""
+    axis = _axes(mesh)
+    me = _my_shard(mesh)
     k = jax.random.fold_in(jax.random.key(seed), me)
     idx = jax.random.randint(
         k, (sample_per_shard,), 0, keys.shape[0], dtype=jnp.int32
@@ -67,36 +97,45 @@ def _sample_bounds(keys, num_shards: int, sample_per_shard: int, seed,
     return sp.extract_delimiters(sample, num_shards - 1)
 
 
-def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, axis: str):
-    """P4-P11: classify, count, all-gather counts, padded all_to_all,
-    compact received segments."""
+def _count_matrix(keys, bounds, mesh):
+    """The (src, dst) segment-size matrix, known on every shard — the
+    histogram exchange that replaces atomic block claiming
+    (msb_64.c:2027,2056)."""
+    num_shards = bounds.shape[0] + 1
+    dest = jnp.searchsorted(bounds, keys, side="left").astype(jnp.int32)
+    send_counts = jnp.sum(
+        dest[:, None] == jnp.arange(num_shards)[None, :], axis=0,
+        dtype=jnp.int32,
+    )
+    return lax.all_gather(send_counts, _axes(mesh))       # (S, S)
+
+
+def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh):
+    """P4-P11: classify, group, exact-cap all_to_all, compact received
+    segments.  ``send_cap``/``recv_cap`` are exact upper bounds fetched
+    from the count matrix — no overflow is possible."""
+    axis = _axes(mesh)
     num_shards = bounds.shape[0] + 1
     n_local = keys.shape[0]
     dest = jnp.searchsorted(bounds, keys, side="left").astype(jnp.int32)
 
     # deterministic send layout: group local keys by destination
-    order_key = dest
     if rids is None:
-        sorted_dest, sorted_keys = lax.sort(
-            (order_key, keys), num_keys=1, is_stable=True
-        )
+        _, sorted_keys = lax.sort((dest, keys), num_keys=1,
+                                  is_stable=True)
         sorted_rids = None
     else:
-        sorted_dest, sorted_keys, sorted_rids = lax.sort(
-            (order_key, keys, rids), num_keys=1, is_stable=True
+        _, sorted_keys, sorted_rids = lax.sort(
+            (dest, keys, rids), num_keys=1, is_stable=True
         )
     send_counts = jnp.sum(
         dest[:, None] == jnp.arange(num_shards)[None, :], axis=0,
         dtype=jnp.int32,
     )
     send_starts = jnp.cumsum(send_counts) - send_counts
-
-    # every shard learns the full (src, dst) count matrix — the histogram
-    # exchange that replaces atomic block claiming
     all_counts = lax.all_gather(send_counts, axis)        # (S, S)
-    recv_counts = all_counts[:, lax.axis_index(axis)]     # (S,)
+    recv_counts = all_counts[:, _my_shard(mesh)]          # (S,)
     total_recv = jnp.sum(recv_counts)
-    overflow = (jnp.max(send_counts) > send_cap) | (total_recv > recv_cap)
 
     def pack(x, fill):
         j = jnp.arange(send_cap)[None, :]
@@ -114,7 +153,7 @@ def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, axis: str):
             axis, split_axis=0, concat_axis=0, tiled=False,
         )
 
-    # compact: received segment s occupies [recv_starts[s], +recv_counts[s])
+    # compact: received segment s lands at [recv_starts[s], +counts[s])
     recv_starts = jnp.cumsum(recv_counts) - recv_counts
     out_idx = jnp.arange(recv_cap)
     src = jnp.searchsorted(
@@ -134,53 +173,165 @@ def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, axis: str):
             valid, jnp.take(recv_rids.reshape(-1), flat),
             jnp.asarray(SENT32, rids.dtype),
         )
-    return rk, rr, total_recv, overflow
+    return rk, rr, total_recv
 
 
 def _build_steps(mesh: Mesh, cfg: SortConfig, n_local: int, pairs: bool,
                  send_cap: int, recv_cap: int, sample_per_shard: int,
                  seed: int):
-    axis = mesh.axis_names[0]
     S = mesh.devices.size
-    data_spec = P(axis)
+    data_spec = _data_spec(mesh)
+    rid_spec = data_spec if pairs else P()
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(data_spec,),
         out_specs=P(None), check_vma=False,
     )
     def plan(keys):
-        return _sample_bounds(keys, S, sample_per_shard, seed, axis)
+        return _sample_bounds(keys, mesh, S, sample_per_shard, seed)
 
-    rid_spec = data_spec if pairs else P()
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(data_spec, P(None)),
+        out_specs=P(None), check_vma=False,
+    )
+    def counts(keys, bounds):
+        return _count_matrix(keys, bounds, mesh)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(data_spec, rid_spec, P(None)),
-        out_specs=(data_spec, rid_spec if pairs else P(None), data_spec,
-                   P(None)),
+        out_specs=(data_spec, rid_spec if pairs else P(None), data_spec),
         check_vma=False,
     )
     def exchange(keys, rids, bounds):
-        rk, rr, total, ovf = _exchange(
-            keys, rids if pairs else None, bounds, send_cap, recv_cap, axis
+        rk, rr, total = _exchange(
+            keys, rids if pairs else None, bounds, send_cap, recv_cap,
+            mesh,
         )
         if rr is None:
             rr = jnp.zeros((1,), jnp.uint32)
-        return rk, rr, total.reshape(1), lax.pmax(ovf, axis).reshape(1)
+        return rk, rr, total.reshape(1)
 
+    return jax.jit(plan), jax.jit(counts), jax.jit(exchange)
+
+
+def _shape_cap(x: int) -> int:
+    """Round a buffer size up to a coarse class (1/8th steps of the next
+    power of two) to bound program re-specialization across runs."""
+    if x <= LANES:
+        return LANES
+    p = 1 << (int(x - 1).bit_length())
+    step = max(p // 8, LANES)
+    return -(-x // step) * step
+
+
+# ---------------------------------------------------------------- local
+
+def _local_sort_v4(rk, rr, mesh, cfg: SortConfig, recv_cap: int,
+                   pairs: bool, timer: PhaseTimer):
+    """P12 with the production engine: one shared static geometry, per-
+    shard bound tables planned on host from a single batched stats fetch,
+    the v4 pipeline under shard_map (engine_v4 docstring for the
+    reference mapping)."""
+    from ..ops import engine_v4 as e4
+
+    S = mesh.devices.size
+    nplanes = 2 if pairs else 1
+    data_spec = _data_spec(mesh)
+    rid_spec = data_spec if pairs else P()
+    cfg_d = dataclasses.replace(
+        cfg, v3_rmax=cfg.v3_rmax or (8 if cfg.interpret else 32)
+    )
+
+    ssz = int(min(max(cfg.sample_rate * recv_cap, 4096),
+                  cfg.sample_cap, recv_cap))
+    _, nb_want = e4._geometry(recv_cap, nplanes, cfg_d)
+
+    for depth in range(3):
+        nb_mult = 2.0 ** depth
+        nbq = 4 * max(1, int(nb_want * nb_mult))
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(data_spec,),
+            out_specs=P(tuple(mesh.axis_names), None),
+            check_vma=False,
+        )
+        def stats_fn(keys):
+            st = e4._sample_stats(keys, ssz=ssz, nbq=nbq, salt=depth)
+            return st.reshape(1, 3 * nbq)
+
+        stats = np.asarray(jax.device_get(stats_fn(rk)))    # (S, 3*nbq)
+        rows = max(recv_cap // LANES, 1)
+        neff = max(1, min(ssz, rows))
+        S_eff = min(recv_cap, ssz) if (rows <= 1 or neff >= rows) else neff
+
+        try:
+            plans = [
+                e4.make_plan_v4(recv_cap, stats[i].reshape(3, nbq),
+                                S_eff, nplanes, cfg_d, nb_mult,
+                                force_two_level=True)
+                for i in range(S)
+            ]
+            nbt = max(p.nb_total for p in plans)
+            plans = [
+                p if p.nb_total == nbt else
+                e4.make_plan_v4(recv_cap, stats[i].reshape(3, nbq),
+                                S_eff, nplanes, cfg_d, nb_mult,
+                                force_two_level=True, nb_total_min=nbt)
+                for i, p in enumerate(plans)
+            ]
+        except ValueError:
+            break                                   # topology overflow
+
+        packs = [e4._pack_tables_v4(p) for p in plans]
+        layout = packs[0][1]
+        packed = jnp.asarray(np.stack([c for c, _ in packs]))
+        p0 = plans[0]
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(data_spec, rid_spec,
+                      P(tuple(mesh.axis_names), None)),
+            out_specs=(data_spec, rid_spec if pairs else P(None),
+                       P(None)),
+            check_vma=False,
+        )
+        def local(keys, rids, ptbl):
+            planes = (keys,) + ((rids,) if pairs else ())
+            final, over, _ = e4._pipeline_v4(
+                planes, ptbl.reshape(-1),
+                layout=layout, n=recv_cap, nplanes=nplanes,
+                nlex=nplanes - 1, rmax=p0.rmax, pitch=p0.pitch,
+                cap_rows=p0.cap_rows, ntiles1=p0.ntiles1,
+                t2max=p0.t2max, arena1_rows=p0.arena1_rows,
+                arena2_rows=p0.arena2_rows, out_rows=p0.out_rows,
+                two_level=True, interpret=cfg.interpret,
+            )
+            over = lax.pmax(over, _axes(mesh))
+            if not pairs:
+                return final[0], jnp.zeros((1,), jnp.uint32), \
+                    over.reshape(1)
+            return final[0], final[1], over.reshape(1)
+
+        sk, sr, over = jax.jit(local)(rk, rr, packed)
+        if not int(jax.device_get(over)[0]):
+            return sk, sr
+        # terminal capacity overflow on some shard: retry with a finer
+        # bucket topology and a fresh sample (salt=depth)
+
+    # engine could not fit the topology — XLA local sort fallback
     @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(data_spec, rid_spec),
+        jax.shard_map, mesh=mesh, in_specs=(data_spec, rid_spec),
         out_specs=(data_spec, rid_spec if pairs else P(None)),
         check_vma=False,
     )
-    def local_sort(keys, rids):
+    def local_xla(keys, rids):
         if pairs:
-            k, r = lax.sort((keys, rids), num_keys=1, is_stable=True)
+            k, r = lax.sort((keys, rids), num_keys=2, is_stable=True)
             return k, r
         return jnp.sort(keys), jnp.zeros((1,), jnp.uint32)
 
-    return jax.jit(plan), jax.jit(exchange), jax.jit(local_sort)
+    return jax.jit(local_xla)(rk, rr)
 
 
 def distributed_sort(
@@ -190,19 +341,23 @@ def distributed_sort(
     config: SortConfig = DEFAULT_CONFIG,
     timing: bool = False,
     seed: int = 0,
+    local_engine: str = "auto",
 ) -> DSortResult:
     """Sort ``keys`` (globally) across the mesh.
 
-    keys: (N,) uint32/uint64, N divisible by the shard count (pad with
-    0xFF.. sentinels otherwise; they sort to the last shard's tail).
-    Returns per-shard sorted runs + valid counts (the reference's
-    per-NUMA-node arrays + sizes, msb_64.h:37).
+    keys: (N,) uint32, N divisible by the shard count (pad with 0xFF..
+    sentinels otherwise; they sort to the last shard's tail).  The mesh
+    may be 1-D (chips) or 2-D (hosts, chips); collectives run over the
+    combined axes.  Returns per-shard sorted runs + valid counts (the
+    reference's per-NUMA-node arrays + sizes, msb_64.h:37).
+
+    local_engine: "v4" (production engine under shard_map), "xla", or
+    "auto" (v4 when shards are large enough to profit).
     """
     from .mesh import make_sort_mesh
     if mesh is None:
         mesh = make_sort_mesh()
     S = mesh.devices.size
-    axis = mesh.axis_names[0]
     n = keys.shape[0]
     assert n % S == 0, "pad N to a multiple of the shard count"
     n_local = n // S
@@ -212,48 +367,65 @@ def distributed_sort(
     sample_per_shard = max(
         1, min(int(config.sample_cap), int(config.sample_rate * n)) // S
     )
-    send_cap = min(
-        n_local,
-        -(-int(config.exchange_fudge * n_local) // S),
-    )
-    recv_cap = min(n, int(config.exchange_fudge * n_local))
 
-    keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+    keys = jax.device_put(keys, NamedSharding(mesh, _data_spec(mesh)))
     if pairs:
-        rids = jax.device_put(rids, NamedSharding(mesh, P(axis)))
+        rids = jax.device_put(rids, NamedSharding(mesh, _data_spec(mesh)))
     dummy = jnp.zeros((1,), jnp.uint32)
 
-    for attempt in range(2):
-        plan, exchange, local = _build_steps(
-            mesh, config, n_local, pairs, send_cap, recv_cap,
-            sample_per_shard, seed,
-        )
-        with timer.phase("sample"):
-            bounds = plan(keys)
-            timer.sync(bounds)
-        with timer.phase("balance"):
-            rk, rr, totals, ovf = exchange(
-                keys, rids if pairs else dummy, bounds
-            )
-            timer.sync(rk)
-        if not bool(jax.device_get(ovf)):
-            break
-        # capacity overflow (the reference aborts on fudge overflow,
-        # README.md:27-29; we retry with exact-safe capacities)
-        send_cap, recv_cap = n_local, n
-    else:
-        raise RuntimeError("exchange overflow even at full capacity")
+    # P1-P3 sample/splitters + the count matrix (one tiny fetch): exact
+    # buffer classes for the exchange — no fudge, no overflow, no retry
+    plan, counts, _ = _build_steps(
+        mesh, config, n_local, pairs, 1, 1, sample_per_shard, seed,
+    )
+    with timer.phase("sample"):
+        bounds = plan(keys)
+        cnt = np.asarray(jax.device_get(counts(keys, bounds)))
+        send_cap = _shape_cap(int(cnt.max()))
+        recv_cap = _shape_cap(int(cnt.sum(axis=0).max()))
+        recv_cap = max(recv_cap, LANES)
+
+    _, _, exchange = _build_steps(
+        mesh, config, n_local, pairs, send_cap, recv_cap,
+        sample_per_shard, seed,
+    )
+    with timer.phase("balance"):
+        rk, rr, totals = exchange(keys, rids if pairs else dummy, bounds)
+        timer.sync(rk)
 
     with timer.phase("local_sort"):
-        sk, sr = local(rk, rr if pairs else dummy)
+        use_v4 = local_engine == "v4" or (
+            local_engine == "auto"
+            and (recv_cap >= (1 << 16) or config.interpret)
+        )
+        if use_v4:
+            sk, sr = _local_sort_v4(
+                rk, rr if pairs else dummy, mesh, config, recv_cap,
+                pairs, timer,
+            )
+        else:
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(_data_spec(mesh),
+                          _data_spec(mesh) if pairs else P()),
+                out_specs=(_data_spec(mesh),
+                           _data_spec(mesh) if pairs else P(None)),
+                check_vma=False,
+            )
+            def local_xla(k, r):
+                if pairs:
+                    a, b = lax.sort((k, r), num_keys=2, is_stable=True)
+                    return a, b
+                return jnp.sort(k), jnp.zeros((1,), jnp.uint32)
+
+            sk, sr = jax.jit(local_xla)(rk, rr if pairs else dummy)
         timer.sync(sk)
 
-    counts = totals.reshape(S)
     return DSortResult(
         keys=sk.reshape(S, -1),
         rids=sr.reshape(S, -1) if pairs else None,
-        counts=counts,
-        overflow=ovf,
+        counts=totals.reshape(S),
+        overflow=jnp.zeros((), jnp.bool_),
         times=timer.report(),
     )
 
@@ -263,6 +435,12 @@ def gather_sorted(res: DSortResult) -> np.ndarray:
     ks = np.asarray(jax.device_get(res.keys))
     cnt = np.asarray(jax.device_get(res.counts))
     return np.concatenate([ks[i, : cnt[i]] for i in range(ks.shape[0])])
+
+
+def gather_rids(res: DSortResult) -> np.ndarray:
+    rs = np.asarray(jax.device_get(res.rids))
+    cnt = np.asarray(jax.device_get(res.counts))
+    return np.concatenate([rs[i, : cnt[i]] for i in range(rs.shape[0])])
 
 
 def check_distributed(res: DSortResult) -> int:

@@ -41,8 +41,15 @@ def make_host_chip_mesh(
     hosts: int, chips: int, axis_names: Tuple[str, str] = ("host", "chip")
 ) -> Mesh:
     """2-D (hosts, chips) mesh — the NUMA×thread analog
-    (msb_64.c:206-237)."""
-    devs = np.array(jax.devices()[: hosts * chips]).reshape(hosts, chips)
+    (msb_64.c:206-237).  Collectives over the ("host", "chip") tuple are
+    lowered hierarchically by XLA: DCN across the host axis, ICI inside."""
+    have = jax.devices()
+    if len(have) < hosts * chips:
+        raise RuntimeError(
+            f"make_host_chip_mesh: need {hosts * chips} devices, backend "
+            f"has {len(have)}"
+        )
+    devs = np.array(have[: hosts * chips]).reshape(hosts, chips)
     return Mesh(devs, axis_names)
 
 

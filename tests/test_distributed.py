@@ -60,6 +60,36 @@ def test_distributed_pairs_permutation():
     assert np.array_equal(kn[got_r], got_k)
 
 
+def test_distributed_v4_local_engine():
+    """The production (v4) engine as the local phase under shard_map:
+    one shared static geometry, per-shard plans (VERDICT r1 item 4)."""
+    mesh = _mesh()
+    n = 1 << 15
+    keys = dist.make("dup_heavy", jax.random.key(5), n, dtype=jnp.uint32)
+    cfg = SortConfig(interpret=True, v3_sort_rows=32, v3_rmax=8,
+                     v3_cap_rows=32)
+    res = dsort.distributed_sort(keys, mesh=mesh, config=cfg,
+                                 local_engine="v4")
+    got = dsort.gather_sorted(res)
+    assert np.array_equal(got, np.sort(np.asarray(keys)))
+    dsort.check_distributed(res)
+
+
+def test_distributed_host_chip_mesh():
+    """2-level (hosts, chips) topology: collectives over the combined
+    axes (the NUMAxthread analog, msb_64.c:206-237)."""
+    from inplacemsdradixsort_tpu.parallel.mesh import make_host_chip_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_host_chip_mesh(2, 4)
+    n = 1 << 16
+    keys = dist.make("uniform", jax.random.key(7), n, dtype=jnp.uint32)
+    res = dsort.distributed_sort(keys, mesh=mesh)
+    got = dsort.gather_sorted(res)
+    assert np.array_equal(got, np.sort(np.asarray(keys)))
+    dsort.check_distributed(res)
+
+
 def test_distributed_timing_report():
     mesh = _mesh()
     keys = dist.uniform(jax.random.key(2), 1 << 13)
