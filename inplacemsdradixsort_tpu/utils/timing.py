@@ -65,10 +65,20 @@ class PhaseTimer:
         if self.enabled:
             for v in values:
                 try:
+                    if len(v.sharding.device_set) != 1:
+                        # multi-device arrays: eager trailing-element
+                        # gather has no unambiguous out-sharding (JAX
+                        # raises ShardingTypeError); the tunnel no-op
+                        # only affects single-device dispatch anyway.
+                        jax.block_until_ready(v)
+                        continue
                     jax.device_get(v.ravel()[-2:])
-                except Exception:
-                    # non-array values, or sharded arrays whose gather
-                    # sharding is ambiguous — fall back to the plain wait
+                except (AttributeError, TypeError, ValueError,
+                        RuntimeError):
+                    # non-array values — fall back to the plain wait.
+                    # (Narrow on purpose: an API change in the device_get
+                    # path must not silently restore the no-op
+                    # block_until_ready under-measurement.)
                     jax.block_until_ready(v)
         return values[0] if len(values) == 1 else values
 

@@ -19,13 +19,17 @@ import jax  # noqa: E402  (jax may be pre-imported by site init; the env var
 
 if os.environ.get("RUN_TPU_TESTS", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
-
-# Persistent compile cache: the interpret-mode engine pipelines inline
-# hundreds of network stages and take minutes of XLA CPU compile; cached
-# executables make repeat suite runs take seconds.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Persistent compile cache: the interpret-mode engine pipelines
+    # inline hundreds of network stages and take minutes of XLA CPU
+    # compile; cached executables make repeat suite runs take seconds.
+    # (CPU-only: TPU runs use the repo's .jax_cache via benchmarks.)
+    _cache_dir = os.path.join(
+        os.path.dirname(__file__), "..", ".jax_cache_cpu"
+    )
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.abspath(_cache_dir)
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
