@@ -122,6 +122,23 @@ def main():
         assert np.array_equal(got, np.sort(x))
     probes.append(_p_u64d)
 
+    @probe("i32 keys @2^20")
+    def _p_i32():
+        x = rng.integers(-2**31, 2**31, n).astype(np.int32)
+        res = rs.sort(jnp.asarray(x))
+        got = np.asarray(jax.device_get(res.keys))
+        assert got.dtype == np.int32 and np.array_equal(got, np.sort(x))
+    probes.append(_p_i32)
+
+    @probe("f32 keys @2^20")
+    def _p_f32():
+        x = rng.standard_normal(n).astype(np.float32)
+        x[:6] = [0.0, -0.0, np.inf, -np.inf, 1e-44, -1e-44]
+        res = rs.sort(jnp.asarray(x))
+        got = np.asarray(jax.device_get(res.keys))
+        assert got.dtype == np.float32 and np.array_equal(got, np.sort(x))
+    probes.append(_p_f32)
+
     @probe("engine=pallas @2^20")
     def _p_pal():
         x = rng.integers(0, 2**32, n, dtype=np.uint32)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG, SortConfig
-from .ops import planner, xla_engine
+from .ops import xla_engine
 from .utils.checking import check  # re-exported
 from .utils.timing import PhaseTimer, PHASE_LABELS
 
@@ -107,13 +107,23 @@ def sort(
 
     if engine == "v4":
         # flagship engine: exact-histogram planned, multi-plane payloads
-        # (u64 keys and/or u64 rids as extra u32 planes)
-        from .ops import engine_v4
+        # (u64 keys and/or u64 rids as extra u32 planes); i32/i64/f32 go
+        # through the order-preserving keycodec bijections (the reference
+        # suite's type families, README.md:19-33, Makefile:8-24)
+        from .ops import engine_v4, keycodec
         if keys.dtype == jnp.uint32:
             kplanes: Tuple[jax.Array, ...] = (keys,)
+        elif keys.dtype == jnp.int32:
+            kplanes = (keycodec.encode_i32(keys),)
+        elif keys.dtype == jnp.float32:
+            kplanes = (keycodec.encode_f32(keys),)
         elif keys.dtype == jnp.uint64:
-            from .ops import keycodec
             kplanes = keycodec.split_u64(keys)
+        elif keys.dtype == jnp.int64:
+            kplanes = keycodec.split_u64(
+                jax.lax.bitcast_convert_type(keys, jnp.uint64)
+                ^ jnp.uint64(1 << 63)
+            )
         else:
             raise TypeError(f"unsupported key dtype {keys.dtype}")
         vplanes = _rid_planes(rids) if rids is not None else ()
@@ -122,11 +132,18 @@ def sort(
         )
         outs = (outs,) + vouts[: len(kplanes) - 1]
         vouts = vouts[len(kplanes) - 1:]
-        if keys.dtype == jnp.uint64:
-            from .ops import keycodec
-            out_k = keycodec.join_u64(*outs)
-        else:
+        if keys.dtype == jnp.uint32:
             out_k = outs[0]
+        elif keys.dtype == jnp.int32:
+            out_k = keycodec.decode_i32(outs[0])
+        elif keys.dtype == jnp.float32:
+            out_k = keycodec.decode_f32(outs[0])
+        elif keys.dtype == jnp.uint64:
+            out_k = keycodec.join_u64(*outs)
+        else:  # int64
+            out_k = jax.lax.bitcast_convert_type(
+                keycodec.join_u64(*outs) ^ jnp.uint64(1 << 63), jnp.int64
+            )
         out_r = _join_rids(vouts, rids.dtype) if rids is not None else None
     elif engine == "v3" and keys.dtype == jnp.uint32:
         from .ops import engine_v3

@@ -48,7 +48,7 @@ class SortConfig:
     v3_cap_rows: Optional[int] = None  # terminal bucket capacity rows
 
     # --- engine selection ---
-    engine: str = "auto"          # "auto" | "v3" | "pallas" | "xla"
+    engine: str = "auto"          # "auto" | "v4" | "v3" | "lsb" | "pallas" | "xla"
     interpret: bool = False       # run Pallas kernels in interpreter mode
     debug_checks: bool = False    # in-situ invariant checks (#ifdef BG analog,
                                   # msb_64.c:329-349, 474-495)

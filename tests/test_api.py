@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import inplacemsdradixsort_tpu as rs
+from inplacemsdradixsort_tpu.config import SortConfig
 from inplacemsdradixsort_tpu.models import distributions as dist
 from inplacemsdradixsort_tpu.utils.checking import (
     check_permutation,
@@ -88,13 +89,23 @@ def test_timing_report_rows():
     ]
 
 
-def test_planner_levels():
-    from inplacemsdradixsort_tpu.config import SortConfig
-    from inplacemsdradixsort_tpu.ops.planner import schedule_levels
-    cfg = SortConfig()
-    assert schedule_levels(1000, cfg).levels == []
-    plan = schedule_levels(1 << 31, cfg)
-    assert (1 << 31) / plan.total_fanout <= cfg.vmem_sort_elems
-    widths = [l.range_bits for l in plan.levels]
-    assert max(widths) <= cfg.range_bits
-    assert max(widths) - min(widths) <= 1
+
+
+@pytest.mark.parametrize("dtype", ["int32", "float32", "int64"])
+def test_key_dtype_families(dtype):
+    """i32/f32/i64 keys through the order-preserving codecs (the
+    reference suite's 32/64-bit type families, Makefile:8-24)."""
+    rng = np.random.default_rng(17)
+    if dtype == "int32":
+        x = rng.integers(-2**31, 2**31, 4096).astype(np.int32)
+    elif dtype == "float32":
+        x = rng.standard_normal(4096).astype(np.float32)
+        x[:7] = [0.0, -0.0, np.inf, -np.inf, 1e-44, -1e-44, 3.5]
+    else:
+        x = rng.integers(-2**63, 2**63, 4096).astype(np.int64)
+    cfg = SortConfig(engine="v4", interpret=True)
+    with jax.enable_x64(dtype == "int64"):
+        res = rs.sort(jnp.asarray(x), config=cfg)
+        got = np.asarray(jax.device_get(res.keys))
+    assert got.dtype == x.dtype
+    assert np.array_equal(got, np.sort(x))
