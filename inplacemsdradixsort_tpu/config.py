@@ -47,6 +47,14 @@ class SortConfig:
     v3_rmax: Optional[int] = None     # ranges per parent per level
     v3_cap_rows: Optional[int] = None  # terminal bucket capacity rows
 
+    # --- LSB engine ---
+    lsb_digit_bits: int = 8       # digit width per LSB pass (msb_64.c:1533)
+
+    # below this size the engines dispatch straight to XLA sort (the
+    # insertion-sort-tier analog, msb_64.c:1011-1014); None = per-engine
+    # default.  Tests lower it to exercise the pipeline at tiny n.
+    min_engine_n: Optional[int] = None
+
     # --- engine selection ---
     engine: str = "auto"          # "auto" | "v4" | "v3" | "lsb" | "pallas" | "xla"
     interpret: bool = False       # run Pallas kernels in interpreter mode

@@ -622,7 +622,8 @@ def sort_v4(
     cfg = cfg or SortConfig()
     timer = timer or PhaseTimer(enabled=False)
     n = int(keys.shape[0])
-    if n < (1 << 16) and _depth == 0:
+    thr = cfg.min_engine_n if cfg.min_engine_n is not None else (1 << 16)
+    if n < thr and _depth == 0:
         return _xla_fallback(keys, vals)
     with jax.enable_x64(False):
         return _sort_v4_body(keys, vals, cfg, timer, _nb_mult, _depth, n)

@@ -83,6 +83,7 @@ def _hist_kernel(
     sems,          # DMA (2,)
     *,
     pitch: int, rmax: int, bias_input: bool,
+    digit_shift: Optional[int] = None, digit_bits: int = 0,
 ):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -107,9 +108,19 @@ def _hist_kernel(
     parent = meta[t * 3]
     nelems = meta[t * 3 + 2]
     k = kbuf[slot]
-    if bias_input:
-        k = k ^ BIAS
-    k = jnp.where(_flat_iota(k.shape) < nelems, k, SENT)
+    if digit_shift is not None:
+        # LSB digit mode: classify by the radix digit of the RAW (unbiased)
+        # word — the ``histogram`` shift/mask analog (msb_64.c:701-738).
+        # Bounds are the digit values 0..rmax-1; masked slack counts as
+        # rmax (past every bound).
+        k = lax.shift_right_logical(k, digit_shift) & np.int32(
+            (1 << digit_bits) - 1
+        )
+        k = jnp.where(_flat_iota(k.shape) < nelems, k, np.int32(rmax))
+    else:
+        if bias_input:
+            k = k ^ BIAS
+        k = jnp.where(_flat_iota(k.shape) < nelems, k, SENT)
 
     row = lax.rem(t, 8)          # row inside the 8-tile SMEM block group
 
@@ -125,9 +136,11 @@ def _hist_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _hist_exe(src_rows: int, ntiles: int, rmax: int, pitch: int,
-              bias_input: bool, interpret: bool):
+              bias_input: bool, interpret: bool,
+              digit_shift: Optional[int] = None, digit_bits: int = 0):
     kernel = functools.partial(
         _hist_kernel, pitch=pitch, rmax=rmax, bias_input=bias_input,
+        digit_shift=digit_shift, digit_bits=digit_bits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -168,10 +181,19 @@ def hist_level(
     rmax: int,
     bias_input: bool = False,
     interpret: bool = False,
+    digit_shift: Optional[int] = None,
+    digit_bits: int = 0,
 ) -> jax.Array:
-    """Exact per-(tile, range) histogram sweep.  Returns (ntiles, rmax)."""
+    """Exact per-(tile, range) histogram sweep.  Returns (ntiles, rmax).
+
+    With ``digit_shift`` set, classifies by the radix digit
+    ``(raw >> digit_shift) & (2^digit_bits - 1)`` of the raw word instead
+    of range bounds (the LSB variants' per-pass histogram, the reference
+    ``histogram``/``partition_keys`` count phase, msb_64.c:701-738,
+    1056-1071); ``bounds`` must then be ``arange(rmax)``.
+    """
     call = _hist_exe(src.shape[0], ntiles, rmax, pitch, bias_input,
-                     interpret)
+                     interpret, digit_shift, digit_bits)
     (h,) = call(meta, bounds, src)
     return h[:ntiles]
 
@@ -181,6 +203,7 @@ def hist_level(
 def _route_body(
     meta, cnt_ref, dst_ref, padv_ref, srcs, outs, bufs, lsem, ssem,
     schunks, *, pitch, rmax, sort_rows, nlex, bias_input,
+    digit_shift=None, digit_bits=0, digit_plane=0,
 ):
     nplanes = len(srcs)
     t = pl.program_id(0)
@@ -230,22 +253,47 @@ def _route_body(
 
         # ---- synthesize phantom pad rows at [pitch, pitch+rmax)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        dp = digit_plane
         def pad_body(d, _):
             npad = (-cnt_ref[grow, d]) % LANES
             row = jnp.where(lane1 < npad, padv_ref[grow, d], SENT)
-            bufs[0][slot, pl.ds(pitch + d, 1), :] = row
+            bufs[dp][slot, pl.ds(pitch + d, 1), :] = row
             return 0
         lax.fori_loop(0, rmax, pad_body, 0, unroll=True)
-        for p in range(1, nplanes):
-            bufs[p][slot, pl.ds(pitch, rmax), :] = jnp.full(
-                (rmax, LANES), SENT, jnp.int32
-            )
+        for p in range(nplanes):
+            if p != dp:
+                bufs[p][slot, pl.ds(pitch, rmax), :] = jnp.full(
+                    (rmax, LANES), SENT, jnp.int32
+                )
 
         # ---- sort the padded tile (groups ranges, runs row-aligned)
         planes = tuple(
             bufs[p][slot, pl.ds(0, sort_rows), :] for p in range(nplanes)
         )
-        sorted_planes = net_sort_multi(planes, nlex=nlex)
+        if digit_shift is None:
+            sorted_planes = net_sort_multi(planes, nlex=nlex)
+        else:
+            # LSB digit mode: order by a synthesized unique composite
+            # (digit, arrival rank) — a STABLE per-pass partition (the
+            # write-cursor order of partition_keys, msb_64.c:1085-1124);
+            # pad lanes rank past every real element, slack sorts to the
+            # end past all runs.
+            ranksz = 1 << int(
+                np.ceil(np.log2(pitch * LANES + 2 * LANES))
+            )
+            kd = planes[dp]
+            dig = lax.shift_right_logical(kd, digit_shift) & np.int32(
+                (1 << digit_bits) - 1
+            )
+            rowi = lax.broadcasted_iota(jnp.int32, kd.shape, 0)
+            lanei = lax.broadcasted_iota(jnp.int32, kd.shape, 1)
+            flat = rowi * LANES + lanei
+            rank = jnp.where(
+                rowi < pitch, flat, np.int32(pitch * LANES) + lanei
+            )
+            islive = jnp.where(rowi < pitch, flat < nelems, kd != SENT)
+            comp = jnp.where(islive, dig * np.int32(ranksz) + rank, SENT)
+            sorted_planes = net_sort_multi((comp,) + planes, nlex=0)[1:]
         for p in range(nplanes):
             bufs[p][slot, pl.ds(0, sort_rows), :] = sorted_planes[p]
 
@@ -309,12 +357,15 @@ def _route_body(
         drain(slot)
 
 
-def _route_kernel_factory(nplanes, **kw):
+def _route_kernel_factory(nplanes, accumulate=False, **kw):
     def kernel(meta, cnt_ref, dst_ref, padv_ref, *rest):
         srcs = rest[:nplanes]
-        outs = rest[nplanes:2 * nplanes]
-        bufs = rest[2 * nplanes:3 * nplanes]
-        lsem, ssem, schunks = rest[3 * nplanes:]
+        # in accumulate mode the outputs are aliased to arena inputs that
+        # sit between srcs and outs (never read in-kernel)
+        base = 2 * nplanes if accumulate else nplanes
+        outs = rest[base:base + nplanes]
+        bufs = rest[base + nplanes:base + 2 * nplanes]
+        lsem, ssem, schunks = rest[base + 2 * nplanes:]
         _route_body(meta, cnt_ref, dst_ref, padv_ref, srcs, outs, bufs,
                     lsem, ssem, schunks, **kw)
     return kernel
@@ -323,14 +374,19 @@ def _route_kernel_factory(nplanes, **kw):
 @functools.lru_cache(maxsize=None)
 def _route_exe(src_rows: int, dst_rows: int, ntiles: int, rmax: int,
                pitch: int, sort_rows: int, nplanes: int, nlex: int,
-               bias_input: bool, interpret: bool):
+               bias_input: bool, interpret: bool,
+               digit_shift: Optional[int] = None, digit_bits: int = 0,
+               digit_plane: int = 0, accumulate: bool = False):
     kernel = _route_kernel_factory(
-        nplanes, pitch=pitch, rmax=rmax, sort_rows=sort_rows, nlex=nlex,
-        bias_input=bias_input,
+        nplanes, accumulate=accumulate,
+        pitch=pitch, rmax=rmax, sort_rows=sort_rows, nlex=nlex,
+        bias_input=bias_input, digit_shift=digit_shift,
+        digit_bits=digit_bits, digit_plane=digit_plane,
     )
     BUFROWS = sort_rows + CHUNK_ROWS
     data = jax.ShapeDtypeStruct((dst_rows, LANES), jnp.int32)
     smem_row = lambda t, *_: (t // 8, 0)
+    ndata_in = nplanes * (2 if accumulate else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -339,7 +395,7 @@ def _route_exe(src_rows: int, dst_rows: int, ntiles: int, rmax: int,
             # row t%8 of block t//8
             [pl.BlockSpec((8, rmax), smem_row,
                           memory_space=pltpu.SMEM)] * 3
-            + [pl.BlockSpec(memory_space=pl.ANY)] * nplanes
+            + [pl.BlockSpec(memory_space=pl.ANY)] * ndata_in
         ),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
         scratch_shapes=(
@@ -351,10 +407,17 @@ def _route_exe(src_rows: int, dst_rows: int, ntiles: int, rmax: int,
             ]
         ),
     )
+    # arena input p (operand 1 scalar-prefetch + 3 tables + nplanes srcs
+    # + p) aliases output p: k route calls accumulate into ONE shared
+    # arena — chunk-partitioned regions interleave inside range regions
+    aliases = {
+        4 + nplanes + p: p for p in range(nplanes)
+    } if accumulate else {}
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[data] * nplanes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -377,6 +440,10 @@ def route_level(
     nlex: Optional[int] = None,
     bias_input: bool = False,
     interpret: bool = False,
+    digit_shift: Optional[int] = None,
+    digit_bits: int = 0,
+    digit_plane: int = 0,
+    arenas: Optional[Sequence[jax.Array]] = None,
 ) -> Tuple[jax.Array, ...]:
     """Run one partition level with exact precomputed destinations.
 
@@ -386,6 +453,11 @@ def route_level(
     in the engine glue).  Store chunks may overshoot up to CHUNK_ROWS-1
     rows past a run; the arena layout must leave a CHUNK_ROWS gap after
     each child region.
+
+    With ``digit_shift`` set, partitions STABLY by the radix digit of
+    plane ``digit_plane`` (the LSB variants' permute phase,
+    msb_64.c:1085-1124); ``padv_tbl`` must then carry a raw word whose
+    digit equals the run's digit (e.g. ``d << digit_shift``).
     """
     nplanes = len(srcs)
     sort_rows = pitch + rmax
@@ -395,16 +467,18 @@ def route_level(
         nlex = nplanes - 1
     call = _route_exe(
         srcs[0].shape[0], dst_rows, ntiles, rmax, pitch, sort_rows,
-        nplanes, nlex, bias_input, interpret,
+        nplanes, nlex, bias_input, interpret, digit_shift, digit_bits,
+        digit_plane, arenas is not None,
     )
     ntp = -(-ntiles // 8) * 8
     pad = ((0, ntp - ntiles), (0, 0))
+    extra = tuple(arenas) if arenas is not None else ()
     outs = call(
         meta,
         jnp.pad(cnt_tbl.reshape(ntiles, rmax), pad),
         jnp.pad(dst_tbl.reshape(ntiles, rmax), pad),
         jnp.pad(padv_tbl.reshape(ntiles, rmax), pad),
-        *srcs,
+        *srcs, *extra,
     )
     return tuple(outs)
 
@@ -600,6 +674,217 @@ def terminal_write(
         nlex = nplanes - 1
     call = _terminal_exe(
         srcs[0].shape[0], out_rows, nb, cap_rows, nplanes, nlex,
+        unbias_output, interpret,
+    )
+    outs = call(btbl.reshape(-1), *srcs)
+    return tuple(outs)
+
+
+# ===================================================== splice_runs
+
+LCH = 8          # splice load/store chunk rows
+
+
+def _splice_body(
+    btbl, srcs, outs, bufs, obufs, tails, lsem, ssem, *,
+    max_occ: int, unbias_output: bool,
+):
+    """Streaming compaction: concatenate the REAL prefixes of row-aligned
+    runs into one dense element-exact output stream.
+
+    btbl per run (stride 8): src_row, occ_rows, real_cnt, _, _, out_off.
+    Runs must arrive in ascending out_off order with out_off exactly
+    cumulative (off[b+1] = off[b] + real[b]): the partial last output row
+    is carried in VMEM (``tails``) across grid steps instead of being
+    read back from HBM — the ``inject`` splice (msb_64.c:1278-1302)
+    without its read-modify-write.
+    """
+    nplanes = len(srcs)
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    slot = lax.rem(b, 2)
+
+    def start_load(run, s):
+        src_row = btbl[run * 8]
+        occ = jnp.minimum(btbl[run * 8 + 1], max_occ)
+        nld = (occ + LCH - 1) // LCH
+        def ld(i, _):
+            for p in range(nplanes):
+                pltpu.make_async_copy(
+                    srcs[p].at[pl.ds(src_row + i * LCH, LCH), :],
+                    bufs[p].at[s, pl.ds(1 + i * LCH, LCH), :],
+                    lsem.at[s],
+                ).start()
+            return 0
+        lax.fori_loop(0, nld, ld, 0, unroll=False)
+
+    @pl.when(b == 0)
+    def _():
+        start_load(0, 0)
+
+    # wait own load (nld chunks x nplanes, equal sizes)
+    occ = jnp.minimum(btbl[b * 8 + 1], max_occ)
+    nld = (occ + LCH - 1) // LCH
+    def wt(i, _):
+        for p in range(nplanes):
+            _dummy_wait(bufs[0].at[slot], lsem.at[slot], LCH)
+        return 0
+    lax.fori_loop(0, nld, wt, 0, unroll=False)
+
+    @pl.when(b + 1 < nb)
+    def _():
+        start_load(b + 1, 1 - slot)
+
+    real = btbl[b * 8 + 2]
+    real = jnp.minimum(real, occ * LANES)
+    off = btbl[b * 8 + 5]
+    phase = off % LANES
+    q0 = off // LANES
+    lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    rot_idx1 = (lane1 - phase) % LANES
+
+    @pl.when(real > 0)
+    def _emit():
+        nfull = (phase + real) // LANES
+        rem = (phase + real) % LANES
+        nch = (nfull + LCH - 1) // LCH
+        lane = lax.broadcasted_iota(jnp.int32, (LCH + 1, LANES), 1)
+        rot_idx = (lane - phase) % LANES
+
+        def chunk(i, _):
+            # wait the previous chunk's stores before reusing obuf
+            @pl.when(i >= 1)
+            def _():
+                for p in range(nplanes):
+                    _dummy_wait(obufs[p], ssem.at[0], LCH)
+            for p in range(nplanes):
+                # buf row j holds element row j-1; window covers
+                # element rows [i*LCH - 1, i*LCH + LCH)
+                win = bufs[p][slot, pl.ds(i * LCH, LCH + 1), :]
+                rolled = jnp.take_along_axis(win, rot_idx, axis=1)
+                main = jnp.where(
+                    lane[1:] >= phase, rolled[1:], rolled[:-1]
+                )
+                head = jnp.where(
+                    (i == 0) & (lane[0:1] < phase),
+                    tails[p][:], main[0:1],
+                )
+                main = jnp.concatenate([head, main[1:]], axis=0)
+                if unbias_output:
+                    main = main ^ BIAS
+                obufs[p][...] = main
+                pltpu.make_async_copy(
+                    obufs[p].at[pl.ds(0, LCH), :],
+                    outs[p].at[pl.ds(q0 + i * LCH, LCH), :],
+                    ssem.at[0],
+                ).start()
+            return 0
+        lax.fori_loop(0, nch, chunk, 0, unroll=False)
+
+        # ---- carry the new partial output row in VMEM
+        @pl.when(rem > 0)
+        def _():
+            for p in range(nplanes):
+                wt2 = bufs[p][slot, pl.ds(nfull, 2), :]
+                rolledt = jnp.take_along_axis(wt2, rot_idx1, axis=1)
+                tcand = jnp.where(
+                    lane1 >= phase, rolledt[1:2], rolledt[0:1]
+                )
+                tcand = jnp.where(
+                    (nfull == 0) & (lane1 < phase), tails[p][:], tcand
+                )
+                tails[p][...] = tcand
+
+        # drain remaining stores before the next run writes obuf/out
+        @pl.when(nch >= 1)
+        def _():
+            for p in range(nplanes):
+                _dummy_wait(obufs[p], ssem.at[0], LCH)
+
+    # ---- final flush: write the trailing partial row
+    @pl.when(b == nb - 1)
+    def _flush():
+        end = off + real
+        remf = end % LANES
+        @pl.when(remf > 0)
+        def _():
+            for p in range(nplanes):
+                t = tails[p][:]
+                if unbias_output:
+                    t = t ^ BIAS
+                obufs[p][pl.ds(0, 1), :] = t
+                pltpu.make_async_copy(
+                    obufs[p].at[pl.ds(0, 1), :],
+                    outs[p].at[pl.ds(end // LANES, 1), :],
+                    ssem.at[0],
+                ).start()
+            for p in range(nplanes):
+                _dummy_wait(obufs[p], ssem.at[0], 1)
+
+
+def _splice_kernel_factory(nplanes, **kw):
+    def kernel(btbl, *rest):
+        srcs = rest[:nplanes]
+        outs = rest[nplanes:2 * nplanes]
+        bufs = rest[2 * nplanes:3 * nplanes]
+        obufs = rest[3 * nplanes:4 * nplanes]
+        tails = rest[4 * nplanes:5 * nplanes]
+        lsem, ssem = rest[5 * nplanes:]
+        _splice_body(btbl, srcs, outs, bufs, obufs, tails, lsem, ssem,
+                     **kw)
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _splice_exe(src_rows: int, out_rows: int, nruns: int, max_occ: int,
+                nplanes: int, unbias_output: bool, interpret: bool):
+    kernel = _splice_kernel_factory(
+        nplanes, max_occ=max_occ, unbias_output=unbias_output,
+    )
+    BUF = 1 + max_occ + LCH
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nruns,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
+        scratch_shapes=(
+            [pltpu.VMEM((2, BUF, LANES), jnp.int32)] * nplanes
+            + [pltpu.VMEM((LCH, LANES), jnp.int32)] * nplanes
+            + [pltpu.VMEM((1, LANES), jnp.int32)] * nplanes
+            + [
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ]
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)
+        ] * nplanes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )
+
+
+def splice_runs(
+    srcs: Sequence[jax.Array],
+    btbl: jax.Array,        # (nruns, 8) int32 (see _splice_body)
+    out_rows: int,
+    max_occ: int,
+    unbias_output: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Concatenate run prefixes element-exactly into a dense stream."""
+    nplanes = len(srcs)
+    nruns = int(btbl.shape[0])
+    call = _splice_exe(
+        srcs[0].shape[0], out_rows, nruns, max_occ, nplanes,
         unbias_output, interpret,
     )
     outs = call(btbl.reshape(-1), *srcs)
