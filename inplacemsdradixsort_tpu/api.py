@@ -105,11 +105,12 @@ def sort(
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
 
-    if engine == "v4":
-        # flagship engine: exact-histogram planned, multi-plane payloads
-        # (u64 keys and/or u64 rids as extra u32 planes); i32/i64/f32 go
-        # through the order-preserving keycodec bijections (the reference
-        # suite's type families, README.md:19-33, Makefile:8-24)
+    if engine in ("v4", "lsb"):
+        # flagship engine (v4: exact-histogram MSD) or the LSB ping-pong
+        # variant (the reference suite's lsb_32/lsb_64, Makefile:8-24);
+        # both take multi-plane payloads (u64 keys and/or u64 rids as
+        # extra u32 planes); i32/i64/f32 go through the order-preserving
+        # keycodec bijections (the type families of README.md:19-33)
         from .ops import engine_v4, keycodec
         if keys.dtype == jnp.uint32:
             kplanes: Tuple[jax.Array, ...] = (keys,)
@@ -127,9 +128,16 @@ def sort(
         else:
             raise TypeError(f"unsupported key dtype {keys.dtype}")
         vplanes = _rid_planes(rids) if rids is not None else ()
-        outs, vouts = engine_v4.sort_v4(
-            kplanes[0], kplanes[1:] + vplanes, config, timer=timer
-        )
+        if engine == "lsb":
+            from .ops import engine_lsb
+            outs, vouts = engine_lsb.sort_lsb(
+                kplanes[0], kplanes[1:] + vplanes, config, timer=timer,
+                nkey=len(kplanes),
+            )
+        else:
+            outs, vouts = engine_v4.sort_v4(
+                kplanes[0], kplanes[1:] + vplanes, config, timer=timer
+            )
         outs = (outs,) + vouts[: len(kplanes) - 1]
         vouts = vouts[len(kplanes) - 1:]
         if keys.dtype == jnp.uint32:
