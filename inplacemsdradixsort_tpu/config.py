@@ -55,6 +55,18 @@ class SortConfig:
     # default.  Tests lower it to exercise the pipeline at tiny n.
     min_engine_n: Optional[int] = None
 
+    # plan the bound/terminal tables ON DEVICE inside the fused pipeline
+    # (sample -> tables -> levels -> terminal as ONE XLA program): no
+    # host round-trip between the sample and the partition levels.
+    # False = host-side numpy planner (the dsort per-shard path).
+    device_plan: bool = True
+
+    # terminal capacity classes: buckets are binned by occupancy and each
+    # class sorts with a network sized to its cap (cap, cap/2, cap/4 ...)
+    # — the ``schedule_passes`` pass-sizing idea (msb_64.c:1334-1400)
+    # applied to the terminal tier.  1 = single full-cap pass.
+    term_classes: int = 1
+
     # --- engine selection ---
     engine: str = "auto"          # "auto" | "v4" | "v3" | "lsb" | "pallas" | "xla"
     interpret: bool = False       # run Pallas kernels in interpreter mode

@@ -180,21 +180,27 @@ def _quantile_bounds(picks_u32: np.ndarray, left: np.ndarray,
 
     # greedy coalesce: drop candidate bounds while the merged bucket mass
     # stays under cap_frac (finer-than-needed picks get merged back; skew
-    # regions keep every bound they need)
+    # regions keep every bound they need).  Closes BEFORE exceeding
+    # cap_frac — an overshooting close would make the typical worst
+    # bucket ~cap_frac * (1 + 1/picks_per_bucket), which at high
+    # occupancy targets blows the terminal capacity and silently doubles
+    # runtime through the retry ladder.
     est0 = np.diff(np.concatenate([[0], r])) / S
     lo0 = np.concatenate([[-1], b[:-1].astype(np.int64)])
     heavy0 = (b.astype(np.int64) == lo0 + 1) & (est0 >= heavy_frac)
     keep_idx = []
     acc = 0.0
     for j in range(len(b)):
+        if acc > 0.0 and acc + est0[j] > cap_frac and not heavy0[j]:
+            keep_idx.append(j - 1)
+            acc = 0.0
         acc += est0[j]
-        last = keep_idx[-1] if keep_idx else -1
-        if heavy0[j] or acc > cap_frac or j == len(b) - 1 or heavy0[
-            min(j + 1, len(b) - 1)
-        ]:
+        if heavy0[j] or j == len(b) - 1 or (
+            j + 1 < len(b) and heavy0[j + 1]
+        ):
             keep_idx.append(j)
             acc = 0.0
-    ki = np.array(keep_idx)
+    ki = np.unique(np.array(keep_idx))
     b, r = b[ki], r[ki]
 
     est = np.diff(np.concatenate([[0], r])) / S

@@ -129,7 +129,7 @@ def _geometry(n: int, nplanes: int, cfg: SortConfig):
         cap_rows = 1024 if nplanes == 1 else 512
         if n >= (1 << 28):
             cap_rows *= 2
-    target = int(cap_rows * LANES * 0.60)
+    target = int(cap_rows * LANES * 0.80)
     nb_want = max(1, _ceil_div(n, target))
     return cap_rows, nb_want
 
@@ -178,9 +178,6 @@ def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
         32 if nb <= 1024 else (
             48 if nb <= 2304 else (64 if nb <= 4096 else 96))
     )
-    sort_rows = cfg.v3_sort_rows
-    pitch = sort_rows - rmax
-    assert pitch > 0, (sort_rows, rmax)
     if nb > rmax * rmax:
         raise ValueError(f"too many buckets {nb} for topology")
 
@@ -189,6 +186,17 @@ def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
     groups = [
         list(range(i, min(i + per, nb))) for i in range(0, nb, per)
     ]
+    return _plan_from_groups(
+        n, nplanes, cfg, cap_rows, keys_only, bounds, is_heavy, groups,
+        rmax, prefix_bits, two_level, nb_total_min)
+
+
+def _plan_from_groups(n, nplanes, cfg, cap_rows, keys_only, bounds,
+                      is_heavy, groups, rmax, prefix_bits, two_level,
+                      nb_total_min) -> _PlanV4:
+    sort_rows = cfg.v3_sort_rows
+    pitch = sort_rows - rmax
+    assert pitch > 0, (sort_rows, rmax)
     ng = len(groups)
     rows_in = _ceil_div(n, LANES)
     ntiles1 = _ceil_div(rows_in, pitch)
@@ -249,13 +257,14 @@ def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
     nchild2 = rmax * rmax
     rows1_max = rows_in + ntiles1 * rmax          # data + phantom pads
     arena1_rows = _shape_class(
-        rows1_max + rmax * CHUNK_ROWS + pitch + CHUNK_ROWS
+        rows1_max + rmax * CHUNK_ROWS
+        + max(pitch, 2 * cap_rows) + CHUNK_ROWS
     )
     t2max = _ceil_div(rows1_max, pitch) + (rmax if two_level else 0)
     t2max = max(t2max, 1)
     rows2_max = rows1_max + t2max * rmax
     arena2_rows = _shape_class(
-        rows2_max + nchild2 * CHUNK_ROWS + cap_rows + CHUNK_ROWS
+        rows2_max + nchild2 * CHUNK_ROWS + 2 * cap_rows + CHUNK_ROWS
     ) if two_level else 8
     out_rows = rows_in + 2 * CHUNK_ROWS + 2
 
@@ -296,6 +305,256 @@ def _plan_tables(plan: _PlanV4):
     )
 
 
+# ===================================================== device planner
+
+BIAS_I = np.int32(-0x80000000)
+SENT_I = np.int32(0x7FFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class _GeomV4:
+    """Static geometry for the device-planned pipeline — shapes only;
+    every data-dependent quantity lives in on-device tables."""
+    n: int
+    nplanes: int
+    rmax: int
+    pitch: int
+    sort_rows: int
+    cap_rows: int
+    ntiles1: int
+    t2max: int
+    arena1_rows: int
+    arena2_rows: int
+    out_rows: int
+    ssz: int
+    S: int
+    nbq: int
+    nrad: int
+    prefix_bits: int
+    heavy_cnt: int
+    cap_S: int
+    nb_want: int
+
+
+def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
+                  nb_mult: float = 1.0) -> _GeomV4:
+    """Static topology from the TARGET bucket count.  The actual bucket
+    count is data-dependent and computed on device, bounded by the
+    planner's rmax^2 clamp; the device path is always two-level."""
+    cap_rows, nb_want = _geometry(n, nplanes, cfg)
+    nb_want = max(16, int(nb_want * nb_mult))
+    ssz = int(min(max(cfg.sample_rate * n, 4096), cfg.sample_cap))
+    ssz = min(ssz, n)
+    rows = max(n // LANES, 1)
+    neff = max(1, min(ssz, rows))
+    S = min(n, ssz) if (rows <= 1 or neff >= rows) else neff
+    nbq = 4 * nb_want
+    prefix_bits = nrad = 0
+    if cfg.use_sample_splitters and nb_want >= 16:
+        prefix_bits = min(8, max(2, int(math.log2(max(nb_want // 4, 4)))))
+        nrad = 1 << prefix_bits
+    est_nb = int(nb_want * 1.3) + nrad + 2
+    rmax = cfg.v3_rmax or (
+        32 if est_nb <= 1024 else (
+            48 if est_nb <= 2304 else (64 if est_nb <= 4096 else 96))
+    )
+    sort_rows = cfg.v3_sort_rows
+    pitch = sort_rows - rmax
+    assert pitch > 0, (sort_rows, rmax)
+    rows_in = _ceil_div(n, LANES)
+    ntiles1 = _ceil_div(rows_in, pitch)
+    rows1_max = rows_in + ntiles1 * rmax
+    arena1_rows = _shape_class(
+        rows1_max + rmax * CHUNK_ROWS
+        + max(pitch, 2 * cap_rows) + CHUNK_ROWS
+    )
+    t2max = max(_ceil_div(rows1_max, pitch) + rmax, 1)
+    rows2_max = rows1_max + t2max * rmax
+    arena2_rows = _shape_class(
+        rows2_max + rmax * rmax * CHUNK_ROWS + 2 * cap_rows + CHUNK_ROWS
+    )
+    out_rows = rows_in + 2 * CHUNK_ROWS + 2
+    heavy_frac = max(0.3 / nb_want, 0.002)
+    return _GeomV4(
+        n=n, nplanes=nplanes, rmax=rmax, pitch=pitch,
+        sort_rows=sort_rows, cap_rows=cap_rows, ntiles1=ntiles1,
+        t2max=t2max, arena1_rows=arena1_rows, arena2_rows=arena2_rows,
+        out_rows=out_rows, ssz=ssz, S=S, nbq=nbq, nrad=nrad,
+        prefix_bits=prefix_bits,
+        heavy_cnt=max(1, int(math.ceil(heavy_frac * S))),
+        cap_S=max(1, S // nb_want), nb_want=nb_want,
+    )
+
+
+def _l1_meta_np(g: _GeomV4) -> np.ndarray:
+    meta = np.zeros(((g.ntiles1 + 1) * 3,), np.int32)
+    for t in range(g.ntiles1):
+        meta[t * 3 + 1] = t * g.pitch
+        meta[t * 3 + 2] = min(
+            g.n - t * g.pitch * LANES, g.pitch * LANES
+        )
+    return meta
+
+
+def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
+    """The v4 planner as a traced program on the device-resident sample —
+    the reference's splitter phases P1-P3 (msb_64.c:1511-1613) fused into
+    the sort program, with no host round-trip.
+
+    Semantics match make_plan_v4: equal-depth duplicate-aware bounds with
+    heavy-value isolation (extract_delimiters, msb_64.c:1304-1322) merged
+    with radix-equidistant delimiters (:1545-1564), coalesced on a
+    cap_frac rank grid (undershooting, so buckets fit the terminal
+    capacity), grouped in fixed stride for the two partition levels."""
+    rmax, nbq = g.rmax, g.nbq
+    keys_only = g.nplanes == 1
+    stats = _sample_stats(keys, ssz=g.ssz, nbq=nbq, salt=salt)
+    pv = stats[0] ^ BIAS_I              # biased i32, ascending
+    left, right = stats[1], stats[2]
+    one_t = jnp.ones((1,), bool)
+    first = jnp.concatenate([one_t, pv[1:] != pv[:-1]])
+    hv = first & ((right - left) >= g.heavy_cnt)
+
+    # ---- candidates: picks; v-1 isolation bounds before heavy values
+    # (msb_64.c:1313-1320); radix-equidistant bounds (:1559-1563)
+    iso_ok = hv & (pv > jnp.int32(BIAS_I))
+    vs = [pv, pv - 1]
+    rs = [right, left]
+    aks = [jnp.zeros((nbq,), bool), iso_ok]     # always-keep
+    hvs = [hv, jnp.zeros((nbq,), bool)]
+    oks = [first, iso_ok]
+    if g.nrad:
+        radu = ((np.arange(1, g.nrad + 1, dtype=np.uint64)
+                 << np.uint64(32 - g.prefix_bits)) - np.uint64(1))
+        radv = jnp.asarray(_bias_np(radu.astype(np.uint32)))
+        ridx = jnp.searchsorted(pv, radv, side="right").astype(jnp.int32)
+        rrank = jnp.where(
+            ridx > 0, jnp.take(right, jnp.clip(ridx - 1, 0, nbq - 1)), 0
+        )
+        vs.append(radv)
+        rs.append(rrank)
+        aks.append(jnp.ones((g.nrad,), bool))
+        hvs.append(jnp.zeros((g.nrad,), bool))
+        oks.append(jnp.ones((g.nrad,), bool))
+    v = jnp.concatenate(vs)
+    r = jnp.concatenate(rs).astype(jnp.int32)
+    a = jnp.concatenate(aks).astype(jnp.int32)
+    h = jnp.concatenate(hvs).astype(jnp.int32)
+    inval = 1 - jnp.concatenate(oks).astype(jnp.int32)
+    NBD = int(v.shape[0])
+
+    # sort by (validity, value, rank); duplicates of one value always
+    # carry the same rank, so flags OR over the short dup window below
+    inval, v, r, a, h = jax.lax.sort(
+        (inval, v, r, a, h), num_keys=3, is_stable=True
+    )
+    valid = inval == 0
+    uniq = valid & jnp.concatenate([one_t, v[1:] != v[:-1]])
+    for k in (1, 2):        # dup runs are <= 3 (pick, isolation, radix)
+        eq = jnp.concatenate([v[k:] == v[:-k], jnp.zeros((k,), bool)])
+        a = a | (jnp.concatenate([a[k:], jnp.zeros((k,), jnp.int32)])
+                 * eq)
+        h = h | (jnp.concatenate([h[k:], jnp.zeros((k,), jnp.int32)])
+                 * eq)
+
+    # ---- dense compaction of unique valid candidates
+    vu = uniq
+    pos = jnp.cumsum(vu.astype(jnp.int32)) - 1
+    tgt = jnp.where(vu, pos, NBD)
+    def _scat(x, fill):
+        return jnp.full((NBD + 1,), fill, x.dtype).at[tgt].set(x)[:NBD]
+    dv = _scat(v, SENT_I)
+    dr = _scat(r, jnp.int32(g.S))
+    da = _scat(a, jnp.int32(0))
+    dh = _scat(h, jnp.int32(0))
+    m = jnp.sum(vu.astype(jnp.int32))
+
+    # ---- coalesce on the cap_frac rank grid: keep the last candidate of
+    # each grid cell (undershoot — bucket mass <= cap + one pick gap),
+    # plus heavy bounds, their isolation bounds, and the final bound
+    idx = jnp.arange(NBD, dtype=jnp.int32)
+    kb = dr // jnp.int32(g.cap_S)
+    kb_next = jnp.concatenate([kb[1:], jnp.full((1,), 1 << 30, jnp.int32)])
+    keep = (idx < m) & (
+        (da != 0) | (dh != 0) | (idx == m - 1) | (kb_next > kb)
+    )
+
+    # ---- clamp to the rmax^2 topology and force full coverage
+    NBF = min(NBD, rmax * rmax)
+    kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    keep2 = keep & (kpos < NBF)
+    nbk = jnp.minimum(jnp.sum(keep2.astype(jnp.int32)), NBF)
+    tgt2 = jnp.where(keep2, jnp.minimum(kpos, NBF), NBF)
+    fb = jnp.full((NBF + 1,), SENT_I, jnp.int32).at[tgt2].set(dv)[:NBF]
+    fhr = jnp.zeros((NBF + 1,), jnp.int32).at[tgt2].set(dh)[:NBF]
+    fb = fb.at[jnp.clip(nbk - 1, 0, NBF - 1)].set(SENT_I)
+    fidx = jnp.arange(NBF, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), fb[:-1]])
+    adj = jnp.where(fidx == 0, fb == jnp.int32(BIAS_I), fb == prev + 1)
+    fh = (fhr != 0) & adj & (fidx < nbk)
+
+    # ---- fixed-stride grouping (groups = L1 ranges, members = L2)
+    per = jnp.maximum(_ceil_div(nbk, rmax), 1)
+    gidx = jnp.arange(rmax, dtype=jnp.int32)
+    glen = jnp.clip(nbk - gidx * per, 1, per)
+    lasti = jnp.clip(gidx * per + per - 1, 0, jnp.maximum(nbk - 1, 0))
+    l1b = jnp.where(gidx * per < nbk, jnp.take(fb, lasti), SENT_I)
+    jj = jnp.arange(rmax, dtype=jnp.int32)[None, :]
+    fi = gidx[:, None] * per + jj
+    in_group = (jj < per) & (fi < nbk)
+    fi_c = jnp.clip(fi, 0, NBF - 1)
+    l2b = jnp.where(in_group, jnp.take(fb, fi_c.reshape(-1))
+                    .reshape(rmax, rmax), SENT_I)
+    hvb = jnp.where(in_group, jnp.take(fh, fi_c.reshape(-1))
+                    .reshape(rmax, rmax), False)
+
+    # ---- drop flags + terminal tables at static slots c = g*rmax + j
+    drop1 = (keys_only & (glen == 1) & hvb[:, 0]
+             & (gidx * per < nbk)).astype(jnp.int32)
+    drop2 = (keys_only & hvb & (glen[:, None] > 1)).astype(jnp.int32)
+    cidx = gidx[:, None] * rmax + jj
+    term_valid = in_group & jnp.where(drop1[:, None] != 0, jj == 0, True)
+    term_child = jnp.where(
+        drop1[:, None] != 0, -1 - gidx[:, None], cidx
+    )
+    term_mode = ((drop1[:, None] != 0) | (drop2 != 0)).astype(jnp.int32)
+
+    return dict(
+        l1_bounds=l1b, l2_bounds=l2b, group_len=glen,
+        drop1=drop1, drop2=drop2.reshape(-1),
+        term_child=term_child.reshape(-1),
+        term_mode=term_mode.reshape(-1),
+        term_fill=l2b.reshape(-1),
+        term_valid=term_valid.reshape(-1).astype(jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("g", "nlex", "interpret", "debug", "stage",
+                     "nclasses", "salt"),
+)
+def _pipeline_v4_dev(
+    planes, *, g: _GeomV4, nlex: int, interpret: bool,
+    debug: bool = False, stage: int = 0, nclasses: int = 1,
+    salt: int = 0,
+):
+    """Device-planned entry: ONE fused XLA program from sample to sorted
+    output (tables computed on device, l1_meta baked as a constant)."""
+    tb = _plan_tables_dev(planes[0], g, salt)
+    tb["l1_meta"] = jnp.asarray(_l1_meta_np(g))
+    final, over, dbg = _pipeline_core(
+        planes, tb, n=g.n, nplanes=g.nplanes, nlex=nlex, rmax=g.rmax,
+        pitch=g.pitch, cap_rows=g.cap_rows, ntiles1=g.ntiles1,
+        t2max=g.t2max, arena1_rows=g.arena1_rows,
+        arena2_rows=g.arena2_rows, out_rows=g.out_rows, two_level=True,
+        interpret=interpret, debug=debug, stage=stage, nclasses=nclasses,
+    )
+    if debug:
+        dbg = dict(dbg, **{f"tb_{k}": v for k, v in tb.items()})
+    return final, over, dbg
+
+
 # ============================================================== glue
 
 def _level_tables(h, keep, gap_rows):
@@ -323,22 +582,17 @@ def _level_tables(h, keep, gap_rows):
     return pads * keep[None, :], rows_c, start, dst
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "layout", "n", "nplanes", "nlex", "rmax", "pitch", "cap_rows",
-        "ntiles1", "t2max", "arena1_rows", "arena2_rows", "out_rows",
-        "two_level", "interpret", "debug",
-    ),
-)
-def _pipeline_v4(
-    planes, packed,
-    *, layout, n: int, nplanes: int, nlex: int, rmax: int, pitch: int,
+def _pipeline_core(
+    planes, tb,
+    *, n: int, nplanes: int, nlex: int, rmax: int, pitch: int,
     cap_rows: int, ntiles1: int, t2max: int, arena1_rows: int,
     arena2_rows: int, out_rows: int, two_level: bool, interpret: bool,
     debug: bool = False,
+    stage: int = 0,   # profiling: 1 = stop after L1 route, 2 = after L2
+    nclasses: int = 1,  # terminal capacity classes (1 = single full-cap pass)
 ):
-    tb = _unpack(packed, layout)
+    """Shared traced body: levels + terminal from a table dict ``tb``
+    (host-packed ints or device-planned tensors — same contract)."""
     l1_meta = tb["l1_meta"]
     l1_bounds, l2_bounds = tb["l1_bounds"], tb["l2_bounds"]
     group_len = tb["group_len"]
@@ -390,6 +644,9 @@ def _pipeline_v4(
         dbg.update(hist1=hist1, start1=start1, rows_c1=rows_c1,
                    a1=a1[0])
 
+    if stage == 1:
+        return (a1[0],), jnp.int32(0), dbg
+
     if not two_level:
         reals_t = jnp.where(
             term_child >= 0,
@@ -406,7 +663,7 @@ def _pipeline_v4(
         )
         final, over, btbl = _finish(
             a1, reals_t, occ_t, src_t, term_mode, term_fill,
-            term_valid, n, cap_rows, out_rows, nlex, interpret)
+            term_valid, n, cap_rows, out_rows, nlex, interpret, nclasses)
         if debug:
             dbg["btbl"] = btbl
         return final, over, dbg
@@ -480,6 +737,9 @@ def _pipeline_v4(
         pitch, rmax, nlex=nlex, bias_input=False, interpret=interpret,
     )
 
+    if stage == 2:
+        return (a2[0],), jnp.int32(0), dbg
+
     cidx = jnp.clip(term_child, 0, nchild2 - 1)
     gidx = jnp.clip(-1 - term_child, 0, rmax - 1)
     reals_t = jnp.where(
@@ -489,19 +749,35 @@ def _pipeline_v4(
     src_t = jnp.where(term_child >= 0, jnp.take(start2, cidx), 0)
     final, over, btbl = _finish(
         a2, reals_t, occ_t, src_t, term_mode, term_fill,
-        term_valid, n, cap_rows, out_rows, nlex, interpret)
+        term_valid, n, cap_rows, out_rows, nlex, interpret, nclasses)
     if debug:
         dbg.update(hist2=hist2, real2=real2, start2=start2,
                    rows_c2=rows_c2, a2=a2[0], btbl=btbl)
     return final, over, dbg
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "layout", "n", "nplanes", "nlex", "rmax", "pitch", "cap_rows",
+        "ntiles1", "t2max", "arena1_rows", "arena2_rows", "out_rows",
+        "two_level", "interpret", "debug", "stage", "nclasses",
+    ),
+)
+def _pipeline_v4(planes, packed, *, layout, **kw):
+    """Host-planned entry: unpack the single packed table upload."""
+    return _pipeline_core(planes, _unpack(packed, layout), **kw)
+
 
 def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
-            term_valid, n, cap_rows, out_rows, nlex, interpret):
+            term_valid, n, cap_rows, out_rows, nlex, interpret,
+            nclasses=1):
     reals_t = jnp.where(term_valid, reals_t, 0).astype(jnp.int32)
     occ_t = occ_t.astype(jnp.int32)
+    # the XL rescue class sorts up to 2*cap_rows, so only a bucket beyond
+    # THAT triggers the retry ladder — estimation noise and moderate skew
+    # are absorbed in-device instead of silently doubling runtime
     over = jnp.any(
-        term_valid & (term_mode == 0) & (occ_t > cap_rows)
+        term_valid & (term_mode == 0) & (occ_t > 2 * cap_rows)
     ).astype(jnp.int32)
     reals_t = jnp.where(
         term_mode == 0, jnp.minimum(reals_t, occ_t * LANES), reals_t
@@ -510,14 +786,32 @@ def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
     out_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     reals_t = (ends - out_off).astype(jnp.int32)
     zeros = jnp.zeros_like(reals_t)
+    # capacity class per bucket: the smallest cap that fits its
+    # occupancy sorts with a proportionally cheaper network
+    # (schedule_passes pass sizing, msb_64.c:1334-1400).  Value-fill
+    # buckets never sort; put them in the smallest class.
+    # capacity classes (schedule_passes pass sizing, msb_64.c:1334-1400):
+    # class 0 is the always-present XL rescue tier (2*cap) absorbing
+    # estimation overshoot; below it, nclasses tiers of halving caps so a
+    # bucket sorts with the smallest network that fits.  Value-fill
+    # buckets never sort; they stream from the smallest class.
+    caps = [2 * cap_rows] + [
+        cap_rows, cap_rows // 2, cap_rows // 4
+    ][:nclasses]
+    cls = jnp.full_like(occ_t, len(caps) - 1)
+    for ci in range(len(caps) - 2, -1, -1):
+        cls = jnp.where((term_mode == 0) & (occ_t > caps[ci + 1]), ci, cls)
     btbl = jnp.stack(
         [src_t, occ_t, reals_t, term_mode, term_fill, out_off,
-         zeros, zeros], axis=1,
+         cls, zeros], axis=1,
     )
-    outs = terminal_write(
-        src_planes, btbl, out_rows, cap_rows, nlex=nlex,
-        unbias_output=True, interpret=interpret,
-    )
+    outs = None
+    for ci, cap_c in enumerate(caps):
+        outs = terminal_write(
+            src_planes, btbl, out_rows, cap_c, nlex=nlex,
+            unbias_output=True, interpret=interpret,
+            class_id=ci, prev_outs=outs,
+        )
     final = tuple(
         jax.lax.bitcast_convert_type(o.reshape(-1)[:n], jnp.uint32)
         for o in outs
@@ -598,9 +892,10 @@ def _debug_validate(plan: _PlanV4, dbg: dict, over: int) -> None:
         raise InvariantError(
             f"terminal coverage {int(offs[-1] + reals[-1])} != n {n}")
     occ, mode = btbl[valid, 1], btbl[valid, 3]
-    if not over and np.any((mode == 0) & (occ > plan.cap_rows)):
+    if not over and np.any((mode == 0) & (occ > 2 * plan.cap_rows)):
         raise InvariantError(
-            "bucket occupancy exceeds cap_rows but overflow flag unset")
+            "bucket occupancy exceeds the XL capacity (2*cap_rows) but "
+            "the overflow flag is unset")
 
 
 # ============================================================== driver
@@ -632,6 +927,9 @@ def sort_v4(
 def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
     nplanes = 1 + len(vals)
     interp = cfg.interpret
+    if cfg.device_plan:
+        return _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult,
+                                 depth, n)
 
     with timer.phase("sample"):
         ssz = int(min(max(cfg.sample_rate * n, 4096), cfg.sample_cap))
@@ -660,6 +958,7 @@ def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
             arena1_rows=plan.arena1_rows, arena2_rows=plan.arena2_rows,
             out_rows=plan.out_rows, two_level=plan.two_level,
             interpret=interp, debug=cfg.debug_checks,
+            nclasses=cfg.term_classes,
         )
         timer.sync(final[0])
 
@@ -670,6 +969,39 @@ def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
         if depth < 2:
             return _sort_v4_body(keys, vals, cfg, timer, nb_mult * 2.0,
                                  depth + 1, n)
+        return _xla_fallback(keys, vals)
+    return final[0], tuple(final[1:])
+
+
+def _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult, depth, n):
+    """Device-planned driver: one fused dispatch, one result-side fetch
+    (the overflow flag doubles as the completion sync)."""
+    nplanes = 1 + len(vals)
+    g = _dev_geometry(n, nplanes, cfg, nb_mult)
+    planes = (keys,) + tuple(vals)
+    with timer.phase("part_blocks"):
+        final, over, dbg = _pipeline_v4_dev(
+            planes, g=g, nlex=nplanes - 1, interpret=cfg.interpret,
+            debug=cfg.debug_checks, nclasses=cfg.term_classes,
+            salt=depth,
+        )
+        timer.sync(final[0])
+    over = int(jax.device_get(over))
+    if cfg.debug_checks:
+        import types
+        tbh = {k[3:]: np.asarray(jax.device_get(v))
+               for k, v in dbg.items() if k.startswith("tb_")}
+        shim = types.SimpleNamespace(
+            n=n, rmax=g.rmax, cap_rows=g.cap_rows,
+            l1_bounds=tbh["l1_bounds"], l2_bounds=tbh["l2_bounds"],
+            drop1=tbh["drop1"], term_valid=tbh["term_valid"],
+        )
+        _debug_validate(shim, {k: v for k, v in dbg.items()
+                               if not k.startswith("tb_")}, over)
+    if over:
+        if depth < 2:
+            return _sort_v4_body_dev(keys, vals, cfg, timer,
+                                     nb_mult * 2.0, depth + 1, n)
         return _xla_fallback(keys, vals)
     return final[0], tuple(final[1:])
 

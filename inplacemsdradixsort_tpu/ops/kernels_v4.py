@@ -203,7 +203,7 @@ def hist_level(
 def _route_body(
     meta, cnt_ref, dst_ref, padv_ref, srcs, outs, bufs, lsem, ssem,
     schunks, *, pitch, rmax, sort_rows, nlex, bias_input,
-    digit_shift=None, digit_bits=0, digit_plane=0,
+    digit_shift=None, digit_bits=0, digit_plane=0, nosort=False,
 ):
     nplanes = len(srcs)
     t = pl.program_id(0)
@@ -270,7 +270,9 @@ def _route_body(
         planes = tuple(
             bufs[p][slot, pl.ds(0, sort_rows), :] for p in range(nplanes)
         )
-        if digit_shift is None:
+        if nosort:
+            sorted_planes = planes      # profiling: overhead w/o the sort
+        elif digit_shift is None:
             sorted_planes = net_sort_multi(planes, nlex=nlex)
         else:
             # LSB digit mode: order by a synthesized unique composite
@@ -357,7 +359,7 @@ def _route_body(
         drain(slot)
 
 
-def _route_kernel_factory(nplanes, accumulate=False, **kw):
+def _route_kernel_factory(nplanes, accumulate=False, nosort=False, **kw):
     def kernel(meta, cnt_ref, dst_ref, padv_ref, *rest):
         srcs = rest[:nplanes]
         # in accumulate mode the outputs are aliased to arena inputs that
@@ -367,7 +369,7 @@ def _route_kernel_factory(nplanes, accumulate=False, **kw):
         bufs = rest[base + nplanes:base + 2 * nplanes]
         lsem, ssem, schunks = rest[base + 2 * nplanes:]
         _route_body(meta, cnt_ref, dst_ref, padv_ref, srcs, outs, bufs,
-                    lsem, ssem, schunks, **kw)
+                    lsem, ssem, schunks, nosort=nosort, **kw)
     return kernel
 
 
@@ -376,9 +378,10 @@ def _route_exe(src_rows: int, dst_rows: int, ntiles: int, rmax: int,
                pitch: int, sort_rows: int, nplanes: int, nlex: int,
                bias_input: bool, interpret: bool,
                digit_shift: Optional[int] = None, digit_bits: int = 0,
-               digit_plane: int = 0, accumulate: bool = False):
+               digit_plane: int = 0, accumulate: bool = False,
+               nosort: bool = False):
     kernel = _route_kernel_factory(
-        nplanes, accumulate=accumulate,
+        nplanes, accumulate=accumulate, nosort=nosort,
         pitch=pitch, rmax=rmax, sort_rows=sort_rows, nlex=nlex,
         bias_input=bias_input, digit_shift=digit_shift,
         digit_bits=digit_bits, digit_plane=digit_plane,
@@ -444,6 +447,7 @@ def route_level(
     digit_bits: int = 0,
     digit_plane: int = 0,
     arenas: Optional[Sequence[jax.Array]] = None,
+    nosort: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Run one partition level with exact precomputed destinations.
 
@@ -468,7 +472,7 @@ def route_level(
     call = _route_exe(
         srcs[0].shape[0], dst_rows, ntiles, rmax, pitch, sort_rows,
         nplanes, nlex, bias_input, interpret, digit_shift, digit_bits,
-        digit_plane, arenas is not None,
+        digit_plane, arenas is not None, nosort,
     )
     ntp = -(-ntiles // 8) * 8
     pad = ((0, ntp - ntiles), (0, 0))
@@ -486,13 +490,24 @@ def route_level(
 # ===================================================== terminal_write
 
 def _terminal_body(
-    btbl, srcs, outs, bufs, heads, sems, *,
-    cap_rows, nlex, unbias_output,
+    btbl, srcs, outs, bufs, heads, tails, sems, *,
+    cap_rows, nlex, unbias_output, class_id=None,
 ):
     """Per final bucket: load, mask, sort, trim, rotate, splice.
 
     btbl layout per bucket (stride 8): src_row, occ_rows, real_cnt, mode,
-    fill_value (biased), out_off, 0, 0.  mode: 0 sort+write, 1 value-fill.
+    fill_value (biased), out_off, class, 0.  mode: 0 sort+write,
+    1 value-fill.
+
+    With ``class_id`` set, only buckets whose class column matches are
+    processed — the engine partitions buckets into capacity classes and
+    runs one (cheaper) sort network per class instead of always sorting
+    the largest cap (the ``schedule_passes`` pass-sizing idea,
+    msb_64.c:1334-1400, applied to the terminal tier).  Because classes
+    interleave arbitrarily in output order, boundary rows are
+    read-modify-written on BOTH sides (head AND tail): each bucket
+    touches only its own lanes, so any serialized processing order is
+    correct.
     """
     nplanes = len(srcs)
     b = pl.program_id(0)
@@ -502,6 +517,7 @@ def _terminal_body(
     mode = btbl[b * 8 + 3]
     fillv = btbl[b * 8 + 4]
     off = btbl[b * 8 + 5]
+    cls = btbl[b * 8 + 6]
     # hard safety clamp: in mode 0 the write span streams from the
     # cap_rows-sized sorted buffer; a corrupt/overflowed real count must
     # never drive chunk reads past it
@@ -511,13 +527,37 @@ def _terminal_body(
     phase = off % LANES
     q0 = off // LANES
     lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    span = (phase + real + LANES - 1) // LANES
+    end_phase = (phase + real) % LANES
 
     # buf layout: row 1 = output row q0 (head), rows 2.. = later rows,
     # row 1+cap_rows = spill row; FILLROW.. = mode-1 steady fill chunk.
     FILLROW = 2 + cap_rows + CHUNK_ROWS
 
-    @pl.when(real > 0)
+    want = real > 0
+    if class_id is not None:
+        want = want & (cls == class_id)
+
+    @pl.when(want)
     def _():
+        # ---- boundary reads FIRST (head + tail rows of my output span):
+        # both get merged so this bucket only ever writes its own lanes
+        for p in range(nplanes):
+            pltpu.make_async_copy(
+                outs[p].at[pl.ds(q0, 1), :], heads[p], sems.at[p]
+            ).start()
+            pltpu.make_async_copy(
+                outs[p].at[pl.ds(q0 + span - 1, 1), :], tails[p],
+                sems.at[p],
+            ).start()
+        for p in range(nplanes):
+            pltpu.make_async_copy(
+                outs[p].at[pl.ds(q0, 1), :], heads[p], sems.at[p]
+            ).wait()
+            pltpu.make_async_copy(
+                outs[p].at[pl.ds(q0, 1), :], tails[p], sems.at[p]
+            ).wait()
+
         @pl.when(mode == 0)
         def _load_sort():
             for p in range(nplanes):
@@ -554,6 +594,19 @@ def _terminal_body(
                     sk = sk ^ BIAS
                 bufs[p][pl.ds(1, cap_rows), :] = mk
                 bufs[p][pl.ds(1 + cap_rows, 1), :] = sk
+            # head/tail RMW merges: keep existing output outside my lanes
+            for p in range(nplanes):
+                bufs[p][pl.ds(1, 1), :] = jnp.where(
+                    lane1 < phase, heads[p][:], bufs[p][pl.ds(1, 1), :]
+                )
+
+            @pl.when(end_phase > 0)
+            def _():
+                for p in range(nplanes):
+                    bufs[p][pl.ds(span, 1), :] = jnp.where(
+                        lane1 >= end_phase, tails[p][:],
+                        bufs[p][pl.ds(span, 1), :]
+                    )
 
         @pl.when(mode == 1)
         def _fill():
@@ -561,25 +614,18 @@ def _terminal_body(
             blk = jnp.full((CHUNK_ROWS, LANES), 1, jnp.int32) * fv
             bufs[0][pl.ds(1, CHUNK_ROWS), :] = blk
             bufs[0][pl.ds(FILLROW, CHUNK_ROWS), :] = blk
-
-        # ---- head row RMW: merge previously written content at
-        # lanes < phase (the inject splice boundary)
-        for p in range(nplanes):
-            pltpu.make_async_copy(
-                outs[p].at[pl.ds(q0, 1), :], heads[p], sems.at[p]
-            ).start()
-        for p in range(nplanes):
-            pltpu.make_async_copy(
-                outs[p].at[pl.ds(q0, 1), :], heads[p], sems.at[p]
-            ).wait()
-        for p in range(nplanes):
-            bufs[p][pl.ds(1, 1), :] = jnp.where(
-                lane1 < phase, heads[p][:], bufs[p][pl.ds(1, 1), :]
+            bufs[0][pl.ds(1, 1), :] = jnp.where(
+                lane1 < phase, heads[0][:], bufs[0][pl.ds(1, 1), :]
             )
+            # patched last row, written as the final 1-row store below
+            t = jnp.where(lane1 < end_phase, fv, tails[0][:])
+            t = jnp.where((span == 1) & (lane1 < phase), heads[0][:], t)
+            tails[0][...] = jnp.where(end_phase > 0, t, fv)
 
-        # ---- write rows [q0, q0+span) in fixed chunks
-        span = (phase + real + LANES - 1) // LANES
-        nch = (span + CHUNK_ROWS - 1) // CHUNK_ROWS
+        # ---- write rows [q0, q0+span) EXACTLY (no chunk overshoot:
+        # classes interleave in output order, so rows past my span may
+        # already hold other buckets' finished content)
+        nfull = span // CHUNK_ROWS
         def wb(i, _):
             src_r = jnp.where(
                 mode == 0, 1 + i * CHUNK_ROWS,
@@ -592,61 +638,118 @@ def _terminal_body(
                     sems.at[p],
                 ).start()
             return 0
-        lax.fori_loop(0, nch, wb, 0, unroll=False)
+        lax.fori_loop(0, nfull, wb, 0, unroll=False)
 
-        # aggregated drain (grouped dummy descriptors per plane)
-        kbuf_rows = cap_rows + 2 + 2 * CHUNK_ROWS
-        gmax = max(1, min(16, kbuf_rows // CHUNK_ROWS))
-        def drain(rows):
-            for p in range(nplanes):
-                _dummy_wait(bufs[p], sems.at[p], rows)
+        # remainder rows via binary decomposition (exact, <=log2 DMAs)
+        rem = span % CHUNK_ROWS
+        done = nfull * CHUNK_ROWS
+        sz = CHUNK_ROWS // 2
+        while sz >= 1:
+            bit = (rem & sz) != 0
+            # mode-1 steady source must hold fv for any slice: FILLROW
+            # block is CHUNK_ROWS of fv; head row only matters when no
+            # full chunk preceded (done == 0 -> source from row 1)
+            @pl.when(bit)
+            def _(sz=sz, done=done):
+                src_r = jnp.where(
+                    mode == 0, 1 + done,
+                    jnp.where(done == 0, 1, FILLROW),
+                )
+                for p in range(nplanes):
+                    pltpu.make_async_copy(
+                        bufs[p].at[pl.ds(src_r, sz), :],
+                        outs[p].at[pl.ds(q0 + done, sz), :],
+                        sems.at[p],
+                    ).start()
+            done = done + jnp.where(bit, sz, 0)
+            sz //= 2
+
+        # mode-1 tail patch: rewrite the final row with merged content
+        npatch = jnp.where((mode == 1) & (end_phase > 0), 1, 0)
+        @pl.when(npatch > 0)
+        def _():
+            for p in range(min(nplanes, 1)):
+                pltpu.make_async_copy(
+                    tails[p], outs[p].at[pl.ds(q0 + span - 1, 1), :],
+                    sems.at[p],
+                ).start()
+
+        # aggregated drain: the wait op decrements the semaphore by its
+        # descriptor's byte count, so grouped/binary self-descriptors
+        # drain exactly what was issued
+        gmax = max(1, min(16, (cap_rows + 2 + 2 * CHUNK_ROWS)
+                          // CHUNK_ROWS))
         def dr_group(i, _):
-            drain(gmax * CHUNK_ROWS)
+            for p in range(nplanes):
+                _dummy_wait(bufs[p], sems.at[p], gmax * CHUNK_ROWS)
             return 0
-        lax.fori_loop(0, nch // gmax, dr_group, 0, unroll=False)
+        lax.fori_loop(0, nfull // gmax, dr_group, 0, unroll=False)
         def dr_one(i, _):
-            drain(CHUNK_ROWS)
+            for p in range(nplanes):
+                _dummy_wait(bufs[p], sems.at[p], CHUNK_ROWS)
             return 0
-        lax.fori_loop(0, nch % gmax, dr_one, 0, unroll=False)
+        lax.fori_loop(0, nfull % gmax, dr_one, 0, unroll=False)
+        sz2 = CHUNK_ROWS // 2
+        while sz2 >= 1:
+            @pl.when((rem & sz2) != 0)
+            def _(sz2=sz2):
+                for p in range(nplanes):
+                    _dummy_wait(bufs[p], sems.at[p], sz2)
+            sz2 //= 2
+        @pl.when(npatch > 0)
+        def _():
+            _dummy_wait(bufs[0], sems.at[0], 1)
 
 
-def _terminal_kernel_factory(nplanes, **kw):
+def _terminal_kernel_factory(nplanes, chained, **kw):
     def kernel(btbl, *rest):
         srcs = rest[:nplanes]
-        outs = rest[nplanes:2 * nplanes]
-        bufs = rest[2 * nplanes:3 * nplanes]
-        heads = rest[3 * nplanes:4 * nplanes]
-        sems = rest[4 * nplanes]
-        _terminal_body(btbl, srcs, outs, bufs, heads, sems, **kw)
+        base = 2 * nplanes if chained else nplanes
+        outs = rest[base:base + nplanes]
+        bufs = rest[base + nplanes:base + 2 * nplanes]
+        heads = rest[base + 2 * nplanes:base + 3 * nplanes]
+        tails = rest[base + 3 * nplanes:base + 4 * nplanes]
+        sems = rest[base + 4 * nplanes]
+        _terminal_body(btbl, srcs, outs, bufs, heads, tails, sems, **kw)
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _terminal_exe(src_rows: int, out_rows: int, nb: int, cap_rows: int,
                   nplanes: int, nlex: int, unbias_output: bool,
-                  interpret: bool):
+                  interpret: bool, class_id: Optional[int] = None,
+                  chained: bool = False):
     kernel = _terminal_kernel_factory(
-        nplanes, cap_rows=cap_rows, nlex=nlex,
-        unbias_output=unbias_output,
+        nplanes, chained, cap_rows=cap_rows, nlex=nlex,
+        unbias_output=unbias_output, class_id=class_id,
     )
     BUF = cap_rows + 2 + 2 * CHUNK_ROWS
+    ndata_in = nplanes * (2 if chained else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ndata_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
         scratch_shapes=(
             [pltpu.VMEM((BUF, LANES), jnp.int32)] * nplanes
             + [pltpu.VMEM((1, LANES), jnp.int32)] * nplanes
+            + [pltpu.VMEM((1, LANES), jnp.int32)] * nplanes
             + [pltpu.SemaphoreType.DMA((nplanes,))]
         ),
     )
+    # chained: the prior class pass's outputs arrive as aliased inputs
+    # (operand 1 + nplanes srcs + p) so class passes serialize on the
+    # same output buffer
+    aliases = {
+        1 + nplanes + p: p for p in range(nplanes)
+    } if chained else {}
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)
         ] * nplanes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -664,19 +767,28 @@ def terminal_write(
     nlex: Optional[int] = None,
     unbias_output: bool = True,
     interpret: bool = False,
+    class_id: Optional[int] = None,
+    prev_outs: Optional[Sequence[jax.Array]] = None,
 ) -> Tuple[jax.Array, ...]:
     """Sort every bucket in VMEM and write its real prefix to the exact
-    output position.  Buckets must be given in ascending out_off order
-    (RMW boundary merging relies on the sequential grid)."""
+    output position.
+
+    Single-call mode (``class_id=None``): processes every bucket;
+    buckets must be in ascending out_off order.  Class mode: processes
+    only buckets whose btbl class column (col 6) equals ``class_id``,
+    with ``cap_rows`` sized for that class; chain calls via
+    ``prev_outs`` (aliased) from the largest class down.  Boundary rows
+    are RMW'd on both sides, so cross-class interleaving is safe."""
     nplanes = len(srcs)
     nb = int(btbl.shape[0])
     if nlex is None:
         nlex = nplanes - 1
     call = _terminal_exe(
         srcs[0].shape[0], out_rows, nb, cap_rows, nplanes, nlex,
-        unbias_output, interpret,
+        unbias_output, interpret, class_id, prev_outs is not None,
     )
-    outs = call(btbl.reshape(-1), *srcs)
+    extra = tuple(prev_outs) if prev_outs is not None else ()
+    outs = call(btbl.reshape(-1), *srcs, *extra)
     return tuple(outs)
 
 

@@ -24,8 +24,9 @@ replaced by SPMD collectives:
                                         DCN across hosts and ICI inside
   local MSD radix sort (P12)          the v4 engine under shard_map: one
                                         shared static geometry, per-shard
-                                        bound tables planned on host from
-                                        a batched stats fetch
+                                        bound tables planned ON DEVICE
+                                        (engine_v4._plan_tables_dev) — no
+                                        host fetch, fully SPMD
 
 Output: per-shard sorted runs in shard order (shard i holds keys <= shard
 i+1's), the reference's per-NUMA-node output contract (msb_64.h:37).
@@ -229,13 +230,12 @@ def _shape_cap(x: int) -> int:
 
 def _local_sort_v4(rk, rr, mesh, cfg: SortConfig, recv_cap: int,
                    pairs: bool, timer: PhaseTimer):
-    """P12 with the production engine: one shared static geometry, per-
-    shard bound tables planned on host from a single batched stats fetch,
-    the v4 pipeline under shard_map (engine_v4 docstring for the
-    reference mapping)."""
+    """P12 with the production engine, fully SPMD: every shard plans its
+    OWN bound tables on device (engine_v4._plan_tables_dev) inside one
+    shard_mapped program — identical static geometry across shards by
+    construction, no host stats fetch, no cross-shard shape pinning."""
     from ..ops import engine_v4 as e4
 
-    S = mesh.devices.size
     nplanes = 2 if pairs else 1
     data_spec = _data_spec(mesh)
     rid_spec = data_spec if pairs else P()
@@ -243,69 +243,28 @@ def _local_sort_v4(rk, rr, mesh, cfg: SortConfig, recv_cap: int,
         cfg, v3_rmax=cfg.v3_rmax or (8 if cfg.interpret else 32)
     )
 
-    ssz = int(min(max(cfg.sample_rate * recv_cap, 4096),
-                  cfg.sample_cap, recv_cap))
-    _, nb_want = e4._geometry(recv_cap, nplanes, cfg_d)
-
     for depth in range(3):
-        nb_mult = 2.0 ** depth
-        nbq = 4 * max(1, int(nb_want * nb_mult))
-
-        @functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(data_spec,),
-            out_specs=P(tuple(mesh.axis_names), None),
-            check_vma=False,
-        )
-        def stats_fn(keys):
-            st = e4._sample_stats(keys, ssz=ssz, nbq=nbq, salt=depth)
-            return st.reshape(1, 3 * nbq)
-
-        stats = np.asarray(jax.device_get(stats_fn(rk)))    # (S, 3*nbq)
-        rows = max(recv_cap // LANES, 1)
-        neff = max(1, min(ssz, rows))
-        S_eff = min(recv_cap, ssz) if (rows <= 1 or neff >= rows) else neff
-
-        try:
-            plans = [
-                e4.make_plan_v4(recv_cap, stats[i].reshape(3, nbq),
-                                S_eff, nplanes, cfg_d, nb_mult,
-                                force_two_level=True)
-                for i in range(S)
-            ]
-            nbt = max(p.nb_total for p in plans)
-            plans = [
-                p if p.nb_total == nbt else
-                e4.make_plan_v4(recv_cap, stats[i].reshape(3, nbq),
-                                S_eff, nplanes, cfg_d, nb_mult,
-                                force_two_level=True, nb_total_min=nbt)
-                for i, p in enumerate(plans)
-            ]
-        except ValueError:
-            break                                   # topology overflow
-
-        packs = [e4._pack_tables_v4(p) for p in plans]
-        layout = packs[0][1]
-        packed = jnp.asarray(np.stack([c for c, _ in packs]))
-        p0 = plans[0]
+        g = e4._dev_geometry(recv_cap, nplanes, cfg_d, 2.0 ** depth)
+        meta = jnp.asarray(e4._l1_meta_np(g))
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(data_spec, rid_spec,
-                      P(tuple(mesh.axis_names), None)),
+            in_specs=(data_spec, rid_spec),
             out_specs=(data_spec, rid_spec if pairs else P(None),
                        P(None)),
             check_vma=False,
         )
-        def local(keys, rids, ptbl):
+        def local(keys, rids):
             planes = (keys,) + ((rids,) if pairs else ())
-            final, over, _ = e4._pipeline_v4(
-                planes, ptbl.reshape(-1),
-                layout=layout, n=recv_cap, nplanes=nplanes,
-                nlex=nplanes - 1, rmax=p0.rmax, pitch=p0.pitch,
-                cap_rows=p0.cap_rows, ntiles1=p0.ntiles1,
-                t2max=p0.t2max, arena1_rows=p0.arena1_rows,
-                arena2_rows=p0.arena2_rows, out_rows=p0.out_rows,
-                two_level=True, interpret=cfg.interpret,
+            tb = e4._plan_tables_dev(planes[0], g, depth)
+            tb["l1_meta"] = meta
+            final, over, _ = e4._pipeline_core(
+                planes, tb, n=g.n, nplanes=g.nplanes,
+                nlex=nplanes - 1, rmax=g.rmax, pitch=g.pitch,
+                cap_rows=g.cap_rows, ntiles1=g.ntiles1, t2max=g.t2max,
+                arena1_rows=g.arena1_rows, arena2_rows=g.arena2_rows,
+                out_rows=g.out_rows, two_level=True,
+                interpret=cfg.interpret, nclasses=cfg.term_classes,
             )
             over = lax.pmax(over, _axes(mesh))
             if not pairs:
@@ -313,7 +272,7 @@ def _local_sort_v4(rk, rr, mesh, cfg: SortConfig, recv_cap: int,
                     over.reshape(1)
             return final[0], final[1], over.reshape(1)
 
-        sk, sr, over = jax.jit(local)(rk, rr, packed)
+        sk, sr, over = jax.jit(local)(rk, rr)
         if not int(jax.device_get(over)[0]):
             return sk, sr
         # terminal capacity overflow on some shard: retry with a finer

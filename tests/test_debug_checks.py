@@ -44,8 +44,11 @@ def test_corrupt_plan_fails_loudly(monkeypatch):
     monkeypatch.setattr(engine_v4, "make_plan_v4", bad_make)
     rng = np.random.default_rng(22)
     x = rng.integers(0, 2**32, N, dtype=np.uint32)
+    # the corrupted object is the HOST plan: pin the host-planner path
+    import dataclasses
+    cfg = dataclasses.replace(CFG, device_plan=False)
     with pytest.raises(InvariantError, match="histogram"):
-        sort_v4(jnp.asarray(x), (), CFG)
+        sort_v4(jnp.asarray(x), (), cfg)
 
 
 def test_corrupt_destination_fails_loudly(monkeypatch):

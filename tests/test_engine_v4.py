@@ -146,3 +146,27 @@ def test_plan_exactness_no_overflow_fields():
     plan = make_plan_v4(N, stats, 4096, 1, CFG)
     assert not hasattr(plan, "l1_dst_cap")
     assert plan.arena1_rows >= N // 128
+
+
+def test_host_planner_path():
+    """The host-side numpy planner (device_plan=False) stays correct —
+    it is the per-shard planning path used by parallel.dsort."""
+    import dataclasses
+    rng = np.random.default_rng(31)
+    cfg = dataclasses.replace(CFG, device_plan=False)
+    for x in (
+        rng.integers(0, 2**32, N, dtype=np.uint32),
+        rng.integers(0, 9, N, dtype=np.uint32),
+    ):
+        k, _ = sort_v4(jnp.asarray(x), (), cfg)
+        assert np.array_equal(np.asarray(k), np.sort(x))
+
+
+def test_device_planner_matches_oracle_on_skew():
+    """Device-planned tables handle heavy values (mode-1 fill buckets)
+    and clustered mass identically to the oracle."""
+    rng = np.random.default_rng(33)
+    x = np.where(rng.random(N) < 0.35, np.uint32(77),
+                 rng.integers(0, 2**32, N).astype(np.uint32))
+    k, _ = sort_v4(jnp.asarray(x.astype(np.uint32)), (), CFG)
+    assert np.array_equal(np.asarray(k), np.sort(x.astype(np.uint32)))
