@@ -133,7 +133,8 @@ def main():
 
         def ours():
             res = rs.sort(keys, config=cfg)
-            _sync(res.keys)
+            if not res.synced:      # v4 syncs via its overflow fetch;
+                _sync(res.keys)     # a second fetch is a pure RTT tax
             return res
 
         try:

@@ -41,6 +41,10 @@ class SortResult:
     keys: jax.Array
     rids: Optional[jax.Array]
     times: List[Tuple[str, float]]          # the 10-row phase report
+    # True when the engine already synchronized on the result (the v4
+    # driver's overflow-flag fetch doubles as the completion barrier):
+    # callers need no further block_until_ready/device_get to time it
+    synced: bool = False
 
     def pretty_times(self) -> str:
         out = [f"{'phase':<14}{'seconds':>12}"]
@@ -185,7 +189,8 @@ def sort(
                 out_k, out_r = xla_engine.sort_pairs(keys, rids)
             timer.sync(out_k)
 
-    return SortResult(keys=out_k, rids=out_r, times=timer.report())
+    return SortResult(keys=out_k, rids=out_r, times=timer.report(),
+                      synced=engine == "v4")
 
 
 def sort_with_indices(

@@ -1021,8 +1021,13 @@ def _pack_tables_v4(plan: _PlanV4):
 
 def _xla_fallback(keys, vals):
     """Correctness net for adversarial inputs the plan cannot fit.
-    Matches the engine contract: lexicographic by (key, *vals)."""
+    Matches the engine contract: lexicographic by (key, *vals), and the
+    synchronous-return contract (SortResult.synced) via a tail fetch."""
     if vals:
         res = jax.lax.sort((keys,) + tuple(vals), num_keys=1 + len(vals))
-        return res[0], tuple(res[1:])
-    return jnp.sort(keys), ()
+        out = res[0], tuple(res[1:])
+    else:
+        out = jnp.sort(keys), ()
+    if keys.shape[0]:
+        jax.device_get(out[0][-1:])
+    return out
