@@ -43,6 +43,21 @@ def time_fn(f, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+# HBM roofline accounting (BASELINE.md north star).  The reference's
+# cost model is ~4.5 full read+write sweeps of the data (SURVEY.md §6:
+# partition P5, block permute P9, 2-3 local passes), i.e. 36 bytes/key
+# at u32; v5e HBM ~819 GB/s -> ~22.7 Gkeys/s sweep-roofline.
+HBM_GBS = float(os.environ.get("BENCH_HBM_GBS", "819"))
+SWEEPS = 4.5
+
+
+def log_roofline(rate: float, n: int, t: float):
+    roof = HBM_GBS * 1e9 / (SWEEPS * 8)
+    LOG(f"roofline: {rate * SWEEPS * 8 / 1e9:.0f} GB/s sweep-equivalent "
+        f"of {HBM_GBS:.0f} GB/s HBM; {100 * rate / roof:.1f}% of the "
+        f"{roof / 1e9:.1f} Gkeys/s {SWEEPS}-sweep roofline")
+
+
 def bench_chunked(logn: int):
     """2^31+ keys exceed resident HBM (input + arenas + output): run the
     out-of-core two-read path (ops/chunked.sort_external) over generated
@@ -94,6 +109,7 @@ def bench_chunked(logn: int):
     chk = (out_sum == in_sum) and (total == n)
     LOG(f"chunked: sorted={ok_all} checksum={chk} "
         f"({t:.1f} s, {n/t/1e9:.3f} Gkeys/s)")
+    log_roofline(n / t, n, t)
     # XLA cannot sort 2^31 resident either: scale its measured 2^28 rate
     # as the (optimistic-for-XLA) baseline
     keys28 = jax.random.bits(jax.random.key(1), (1 << 28,), jnp.uint32)
@@ -166,6 +182,7 @@ def main():
     base_rate = n / t_base
     LOG(f"ours: {t_ours*1e3:.0f} ms ({ours_rate/1e9:.3f} Gkeys/s)  "
         f"jnp.sort: {t_base*1e3:.0f} ms ({base_rate/1e9:.3f} Gkeys/s)")
+    log_roofline(ours_rate, n, t_ours)
     print(json.dumps({
         "metric": f"keys/sec, 2^{logn} uniform u32, 1 chip",
         "value": round(ours_rate, 1),

@@ -12,13 +12,18 @@ REF=${REF:-/root/reference}
 OUT=${OUT:-/tmp/refbench}
 LOGN=${1:-27}
 
-if [ ! -f /usr/include/numa.h ]; then
-    echo "numa.h not found — install libnuma-dev on a CPU host" >&2
-    exit 2
-fi
-
 mkdir -p "$OUT"
-gcc -O3 -march=native -I"$REF/include" -I"$REF/src" \
+if [ -f /usr/include/numa.h ]; then
+    EXTRA_INC=""
+    EXTRA_LIB="-lnuma"
+else
+    # no libnuma on this host: build against the single-node shim
+    # (benchmarks/numa_shim/numa.h) — correctness/checksum anchor only
+    echo "numa.h not found — using single-node shim (correctness anchor)" >&2
+    EXTRA_INC="-I$(dirname "$0")/numa_shim"
+    EXTRA_LIB=""
+fi
+gcc -O3 -march=native $EXTRA_INC -I"$REF/include" -I"$REF/src" \
     "$(dirname "$0")/ref_driver.c" "$REF/src/msb_64.c" "$REF/src/rand.c" \
-    -o "$OUT/msb_64_bench" -lpthread -lnuma -lm
+    -o "$OUT/msb_64_bench" -lpthread $EXTRA_LIB -lm
 "$OUT/msb_64_bench" "$LOGN" "${NUMA_NODES:-1}"

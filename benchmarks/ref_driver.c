@@ -22,6 +22,12 @@
 #include "msb_64.h"
 #include "rand.h"
 
+/* check() is implemented but not declared in the public header
+ * (msb_64.c:2470-2505); an implicit declaration would truncate the
+ * returned 64-bit checksum. */
+uint64_t check(uint64_t **keys, uint64_t **rids, uint64_t *size,
+               int numa, int same);
+
 static double now_sec(void) {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -31,7 +37,12 @@ static double now_sec(void) {
 int main(int argc, char **argv) {
     uint64_t log_n = argc > 1 ? strtoull(argv[1], 0, 10) : 27;
     int numa_nodes = argc > 2 ? atoi(argv[2]) : 1;
-    double fudge = 1.125;
+    uint64_t total_pre = 1ull << (argc > 1 ? strtoull(argv[1], 0, 10) : 27);
+    /* fudge must cover 1 + numa_blocks + threads_per_numa*range_partitions
+     * exchange blocks plus combine-phase fresh-block appends
+     * (msb_64.c:1574-1578, 1722-1745): scale the slack with 1/n. */
+    double fudge = 1.1 + (64.0 * 128 * 4096 * 1.3) / total_pre;
+    if (fudge < 1.3) fudge = 1.3;
     uint64_t total = 1ull << log_n;
 
     uint64_t **keys = malloc(numa_nodes * sizeof(uint64_t *));
@@ -62,7 +73,21 @@ int main(int argc, char **argv) {
     printf("sorted %llu keys in %.3f s = %.3f Mkeys/s  checksum %s\n",
            (unsigned long long)total, dt, total / dt / 1e6,
            checksum_in == checksum_out ? "OK" : "MISMATCH");
+    printf("checksum_in %llu checksum_out %llu\n",
+           (unsigned long long)checksum_in,
+           (unsigned long long)checksum_out);
     for (int i = 0; i < 10; ++i)
         printf("  %-28s %llu us\n", desc[i], (unsigned long long)times[i]);
+
+    /* REF_DUMP=<path>: write the sorted key sequence for the bitwise
+     * parity comparison against the TPU engine (BASELINE config 1). */
+    const char *dump = getenv("REF_DUMP");
+    if (dump) {
+        FILE *f = fopen(dump, "wb");
+        for (int nnode = 0; nnode < numa_nodes; ++nnode)
+            fwrite(keys[nnode], sizeof(uint64_t), size[nnode], f);
+        fclose(f);
+        printf("dumped sorted keys to %s\n", dump);
+    }
     return checksum_in == checksum_out ? 0 : 1;
 }

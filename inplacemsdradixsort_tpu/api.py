@@ -109,12 +109,15 @@ def sort(
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
 
-    if engine in ("v4", "lsb"):
-        # flagship engine (v4: exact-histogram MSD) or the LSB ping-pong
-        # variant (the reference suite's lsb_32/lsb_64, Makefile:8-24);
-        # both take multi-plane payloads (u64 keys and/or u64 rids as
-        # extra u32 planes); i32/i64/f32 go through the order-preserving
-        # keycodec bijections (the type families of README.md:19-33)
+    if engine in ("v4", "v5", "lsb"):
+        # flagship engine (v4: exact-histogram MSD), the in-place v5
+        # (peak ~1.25x N HBM — the reference's defining feature,
+        # msb_64.c:497-699, 2016-2158; v5 CONSUMES its input buffers
+        # like the reference sorts the caller's arrays in place), or the
+        # LSB ping-pong variant (the reference suite's lsb_32/lsb_64,
+        # Makefile:8-24); all take multi-plane payloads (u64 keys and/or
+        # u64 rids as extra u32 planes); i32/i64/f32 go through the
+        # order-preserving keycodec bijections (README.md:19-33)
         from .ops import engine_v4, keycodec
         if keys.dtype == jnp.uint32:
             kplanes: Tuple[jax.Array, ...] = (keys,)
@@ -137,6 +140,11 @@ def sort(
             outs, vouts = engine_lsb.sort_lsb(
                 kplanes[0], kplanes[1:] + vplanes, config, timer=timer,
                 nkey=len(kplanes),
+            )
+        elif engine == "v5":
+            from .ops import engine_v5
+            outs, vouts = engine_v5.sort_v5(
+                kplanes[0], kplanes[1:] + vplanes, config, timer=timer
             )
         else:
             outs, vouts = engine_v4.sort_v4(
@@ -189,8 +197,11 @@ def sort(
                 out_k, out_r = xla_engine.sort_pairs(keys, rids)
             timer.sync(out_k)
 
+    # engines that fetch a flag/tail with the result already synchronized
+    # on it (v4/v5 overflow fetch; lsb is one device program but performs
+    # no result-side fetch; xla/v3/pallas return async values)
     return SortResult(keys=out_k, rids=out_r, times=timer.report(),
-                      synced=engine == "v4")
+                      synced=engine in ("v4", "v5"))
 
 
 def sort_with_indices(

@@ -50,6 +50,15 @@ class SortConfig:
     # --- LSB engine ---
     lsb_digit_bits: int = 8       # digit width per LSB pass (msb_64.c:1533)
 
+    # --- v5 in-place engine geometry (None = auto) ---
+    # L1 tile rows for the sequential-block partition (rows x 128 must be
+    # a power of two; the tile is network-sorted whole)
+    v5_pitch_rows: Optional[int] = None
+    # L2 scratch budget as a fraction of the input blocks: regions are
+    # batched so each batch's blocks fit ceil(frac * total) (the ``fudge``
+    # slack contract reborn as a bounded scratch arena, msb_64.h:39)
+    v5_batch_frac: float = 0.25
+
     # below this size the engines dispatch straight to XLA sort (the
     # insertion-sort-tier analog, msb_64.c:1011-1014); None = per-engine
     # default.  Tests lower it to exercise the pipeline at tiny n.
@@ -68,7 +77,7 @@ class SortConfig:
     term_classes: int = 1
 
     # --- engine selection ---
-    engine: str = "auto"          # "auto" | "v4" | "v3" | "lsb" | "pallas" | "xla"
+    engine: str = "auto"  # "auto" | "v4" | "v5" | "v3" | "lsb" | "pallas" | "xla"
     interpret: bool = False       # run Pallas kernels in interpreter mode
     debug_checks: bool = False    # in-situ invariant checks (#ifdef BG analog,
                                   # msb_64.c:329-349, 474-495)

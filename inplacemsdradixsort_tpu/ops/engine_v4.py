@@ -134,17 +134,17 @@ def _geometry(n: int, nplanes: int, cfg: SortConfig):
     return cap_rows, nb_want
 
 
-def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
-                 cfg: SortConfig, nb_mult: float = 1.0,
-                 force_two_level: bool = False,
-                 nb_total_min: int = 1) -> _PlanV4:
-    """Build the host-side plan.  ``force_two_level``/``nb_total_min``
-    pin the static geometry so per-shard plans built from different
-    stats stay shape-compatible under one SPMD program (dsort)."""
-    cap_rows, nb_want = _geometry(n, nplanes, cfg)
-    nb_want = max(1, int(nb_want * nb_mult))
-    keys_only = nplanes == 1
+def _bounds_hybrid(stats: np.ndarray, S: int, nb_want: int,
+                   cfg: SortConfig):
+    """Duplicate-aware equal-depth bounds merged with radix-equidistant
+    delimiters — the hybrid delimiter set (msb_64.c:1545-1564).  Every
+    final bucket then lies inside one radix cell — the constant-top-bits
+    invariant (asserted msb_64.c:2190-2192) — bounding bucket key-width
+    against sample misses and letting local passes ignore the fixed
+    prefix (the 58-bit trick, :2242).  Shared by the v4 and v5 planners.
 
+    Returns (bounds uint32 ascending incl. 0xFFFFFFFF, is_heavy bool,
+    prefix_bits)."""
     heavy_frac = max(0.3 / nb_want, 0.002)
     bounds, est, is_heavy = _quantile_bounds(
         stats[0].view(np.uint32), stats[1], stats[2], S, heavy_frac,
@@ -152,12 +152,6 @@ def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
     )
     prefix_bits = 0
     if cfg.use_sample_splitters and nb_want >= 16:
-        # hybrid delimiter set (msb_64.c:1545-1564): merge
-        # radix-equidistant bounds ((p+1 << shift) - 1) into the sample
-        # quantiles.  Every final bucket then lies inside one radix cell
-        # — the constant-top-bits invariant (asserted msb_64.c:2190-2192)
-        # — bounding bucket key-width against sample misses and letting
-        # local passes ignore the fixed prefix (the 58-bit trick, :2242).
         prefix_bits = min(8, max(2, int(math.log2(nb_want // 4))))
         nrad = 1 << prefix_bits
         shift = 32 - prefix_bits
@@ -173,6 +167,20 @@ def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
              for v, l in zip(merged, lo)], bool,
         )
         bounds = merged.astype(np.uint32)
+    return bounds, is_heavy, prefix_bits
+
+
+def make_plan_v4(n: int, stats: np.ndarray, S: int, nplanes: int,
+                 cfg: SortConfig, nb_mult: float = 1.0,
+                 force_two_level: bool = False,
+                 nb_total_min: int = 1) -> _PlanV4:
+    """Build the host-side plan.  ``force_two_level``/``nb_total_min``
+    pin the static geometry so per-shard plans built from different
+    stats stay shape-compatible under one SPMD program (dsort)."""
+    cap_rows, nb_want = _geometry(n, nplanes, cfg)
+    nb_want = max(1, int(nb_want * nb_mult))
+    keys_only = nplanes == 1
+    bounds, is_heavy, prefix_bits = _bounds_hybrid(stats, S, nb_want, cfg)
     nb = len(bounds)
     rmax = cfg.v3_rmax or (
         32 if nb <= 1024 else (
@@ -770,7 +778,15 @@ def _pipeline_v4(planes, packed, *, layout, **kw):
 
 def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
             term_valid, n, cap_rows, out_rows, nlex, interpret,
-            nclasses=1):
+            nclasses=1, out_base=0, outs0=None, slice_n=True):
+    """Terminal tier: class-chained ``terminal_write`` calls.
+
+    v5 extensions over the v4 defaults: ``out_base`` offsets the bucket
+    output positions (batched terminals continue a global stream),
+    ``outs0`` seeds the class chain with an existing output buffer
+    (aliased — the in-place splice into the working array), and
+    ``slice_n=False`` returns the raw (out_rows, 128) planes for
+    donation to the next batch."""
     reals_t = jnp.where(term_valid, reals_t, 0).astype(jnp.int32)
     occ_t = occ_t.astype(jnp.int32)
     # the XL rescue class sorts up to 2*cap_rows, so only a bucket beyond
@@ -782,8 +798,9 @@ def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
     reals_t = jnp.where(
         term_mode == 0, jnp.minimum(reals_t, occ_t * LANES), reals_t
     )
-    ends = jnp.minimum(jnp.cumsum(reals_t), n).astype(jnp.int32)
-    out_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    base = jnp.asarray(out_base, jnp.int32)
+    ends = jnp.minimum(base + jnp.cumsum(reals_t), n).astype(jnp.int32)
+    out_off = jnp.concatenate([base[None], ends[:-1]])
     reals_t = (ends - out_off).astype(jnp.int32)
     zeros = jnp.zeros_like(reals_t)
     # capacity class per bucket: the smallest cap that fits its
@@ -805,13 +822,15 @@ def _finish(src_planes, reals_t, occ_t, src_t, term_mode, term_fill,
         [src_t, occ_t, reals_t, term_mode, term_fill, out_off,
          cls, zeros], axis=1,
     )
-    outs = None
+    outs = tuple(outs0) if outs0 is not None else None
     for ci, cap_c in enumerate(caps):
         outs = terminal_write(
             src_planes, btbl, out_rows, cap_c, nlex=nlex,
             unbias_output=True, interpret=interpret,
             class_id=ci, prev_outs=outs,
         )
+    if not slice_n:
+        return outs, over, btbl
     final = tuple(
         jax.lax.bitcast_convert_type(o.reshape(-1)[:n], jnp.uint32)
         for o in outs

@@ -95,18 +95,24 @@ def _hist_kernel(
             kbuf.at[s], sems.at[s],
         )
 
-    @pl.when(t == 0)
+    # dead (nelems == 0) tiles skip their loads entirely — the L2 grid
+    # is padded with up to rmax dead tiles whose loads would otherwise
+    # stream ~1 MB of garbage each
+    @pl.when((t == 0) & (meta[2] > 0))
     def _():
         load(0, 0).start()
 
-    load(t, slot).wait()
+    nelems = meta[t * 3 + 2]
 
-    @pl.when(t + 1 < nt)
+    @pl.when(nelems > 0)
+    def _():
+        load(t, slot).wait()
+
+    @pl.when((t + 1 < nt) & (meta[(t + 1) * 3 + 2] > 0))
     def _():
         load(t + 1, 1 - slot).start()
 
     parent = meta[t * 3]
-    nelems = meta[t * 3 + 2]
     k = kbuf[slot]
     if digit_shift is not None:
         # LSB digit mode: classify by the radix digit of the RAW (unbiased)
@@ -222,21 +228,27 @@ def _route_body(
                 lsem.at[s],
             ).start()
 
+    nelems = meta[t * 3 + 2]
+
     @pl.when(t == 0)
     def _():
         schunks[0] = 0
         schunks[1] = 0
+
+    @pl.when((t == 0) & (meta[2] > 0))
+    def _():
         start_loads(0, 0)
 
-    # ---- wait for this tile's planes (one dummy per plane: equal sizes)
-    for p in range(nplanes):
-        pltpu.make_async_copy(
-            bufs[0].at[slot, pl.ds(0, pitch), :],
-            bufs[0].at[slot, pl.ds(0, pitch), :],
-            lsem.at[slot],
-        ).wait()
-
-    nelems = meta[t * 3 + 2]
+    # ---- wait for this tile's planes (one dummy per plane: equal
+    # sizes); dead tiles never started a load (see _hist_kernel note)
+    @pl.when(nelems > 0)
+    def _():
+        for p in range(nplanes):
+            pltpu.make_async_copy(
+                bufs[0].at[slot, pl.ds(0, pitch), :],
+                bufs[0].at[slot, pl.ds(0, pitch), :],
+                lsem.at[slot],
+            ).wait()
 
     @pl.when(nelems > 0)
     def _compute():
@@ -315,7 +327,7 @@ def _route_body(
 
     drain(1 - slot)
 
-    @pl.when(t + 1 < nt)
+    @pl.when((t + 1 < nt) & (meta[(t + 1) * 3 + 2] > 0))
     def _():
         start_loads(t + 1, 1 - slot)
 

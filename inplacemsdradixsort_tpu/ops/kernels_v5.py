@@ -27,7 +27,7 @@ input): peak HBM = N + a few percent of block-granular slack — the
 reference's ``fudge`` over-allocation contract (msb_64.h:39) reborn.
 
 Flat-shift semantics used by the append (dst_flat = src_flat + D, D of
-either sign; modeled and tested in tests/test_engine_v5.py):
+either sign; exercised by tests/test_engine_v5.py):
 
     phase = D % 128
     rs    = (R*128 - D - 1) // 128        # window top src row
@@ -57,6 +57,11 @@ SEGROWS = 16                      # append sub-segment rows (divides BLKROWS)
 PAD0 = SEGROWS + 1                # tile-buffer top/bottom junk padding rows
 SCHED_CHUNK = 256                 # permute schedule entries per grid step
 RING = 16                         # permute ring slots (lookahead RING//2)
+NSTAGE = 4                        # rotating cycle-head stage buffers: a
+                                  # cycle's stage read is issued LOOK
+                                  # entries early, so consecutive short
+                                  # cycles must not share one stage
+                                  # (ring buf index RING + cycle % NSTAGE)
 
 
 def _blk_wait(ref2d, sem):
@@ -71,13 +76,11 @@ def _blk_wait(ref2d, sem):
 
 def _seqroute_body(
     meta, cnt_ref, base_ref, slot_ref, padv_ref, srcs, outs, bufs,
-    accs, lsem, fsem, *, pitch, rmax, nlex, bias_input, nplanes,
+    accs, lsem, fsem, nout, *, pitch, rmax, nlex, bias_input, nplanes,
 ):
     """Grid step = one tile (data tile or region-drain tile).
 
-    meta (stride 4 per tile): src_row, nelems, drain_flag, nflush_prev
-    (flush events issued by the previous tile — waited here before the
-    accumulators are touched again).
+    meta (stride 4 per tile): src_row, nelems, drain_flag, reserved.
 
     Blocked SMEM tables per (tile, range):
       cnt   — elements of range d in this tile (exact histogram row)
@@ -85,11 +88,27 @@ def _seqroute_body(
       slot  — W block slot of this event's first full-block flush;
               on drain tiles: the range's drain block slot
       padv  — biased phantom pad value (used by drain tiles)
+
+    Flush-DMA accounting: ``nout`` (SMEM) counts outstanding flush
+    events (one event = ``nplanes`` block DMAs reading an accumulator
+    parity).  All outstanding flushes are drained (a) after each tile's
+    sort, before its appends reuse accumulator rows, and (b) inside a
+    tile when one range cycles back onto a parity it flushed earlier in
+    the SAME tile (>= 2 blocks completed this tile) — without (b), an
+    append could overwrite a parity whose read-DMA is still in flight.
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     slot = lax.rem(t, 2)
     grow = lax.rem(t, 8)
+
+    def drain_all():
+        def dr1(i, _):
+            for p in range(nplanes):
+                _blk_wait(accs[p].at[0, 0], fsem.at[0])
+            return 0
+        lax.fori_loop(0, nout[0], dr1, 0, unroll=False)
+        nout[0] = 0
 
     def start_load(tile, s):
         srow = meta[tile * 4]
@@ -102,6 +121,7 @@ def _seqroute_body(
 
     @pl.when(t == 0)
     def _():
+        nout[0] = 0
         start_load(0, 0)
 
     nelems = meta[t * 4 + 1]
@@ -138,14 +158,9 @@ def _seqroute_body(
         for p in range(nplanes):
             bufs[p][slot, pl.ds(PAD0, pitch), :] = sp[p]
 
-    # ---- wait the previous tile's flushes (acc slots may be reused)
-    nfl_prev = meta[t * 4 + 3]
-
-    def dr(i, _):
-        for p in range(nplanes):
-            _blk_wait(accs[p].at[0, 0], fsem.at[0])
-        return 0
-    lax.fori_loop(0, nfl_prev, dr, 0, unroll=False)
+    # ---- wait all outstanding flushes (acc slots may be reused); the
+    # flushes had a full tile sort's worth of time to land
+    drain_all()
 
     lane_s = lax.broadcasted_iota(jnp.int32, (SEGROWS, LANES), 1)
     row_s = lax.broadcasted_iota(jnp.int32, (SEGROWS, LANES), 0)
@@ -176,6 +191,13 @@ def _seqroute_body(
                 rs = (Ra * LANES - D - 1) // LANES
                 aflat = (Ra + row_s) * LANES + lane_s
                 okw = (aflat >= base) & (aflat < base + cnt)
+
+                # parity reuse within one tile: block blk-2 (same parity)
+                # was flushed earlier in this tile; its read-DMA must
+                # complete before these appends overwrite the parity
+                @pl.when((rb == 0) & (blk - base // BLK >= 2))
+                def _():
+                    drain_all()
                 for p in range(nplanes):
                     win = bufs[p][slot, pl.ds(PAD0 + rs, SEGROWS + 1), :]
                     rolled = jnp.take_along_axis(
@@ -198,6 +220,7 @@ def _seqroute_body(
                             outs[p].at[pl.ds(ws * BLKROWS, BLKROWS), :],
                             fsem.at[0],
                         ).start()
+                    nout[0] = nout[0] + 1
                 return 0
 
             lax.fori_loop(0, nseg, seg, 0, unroll=False)
@@ -230,15 +253,11 @@ def _seqroute_body(
                     outs[p].at[pl.ds(dslot * BLKROWS, BLKROWS), :],
                     fsem.at[0],
                 ).start()
+            nout[0] = nout[0] + 1
             return 0
 
         lax.fori_loop(0, rmax, dchild, 0, unroll=True)
-
-        def drr(i, _):
-            for p in range(nplanes):
-                _blk_wait(accs[p].at[0, 0], fsem.at[0])
-            return 0
-        lax.fori_loop(0, rmax, drr, 0, unroll=False)
+        drain_all()
 
 
 def _seqroute_factory(nplanes, **kw):
@@ -247,9 +266,9 @@ def _seqroute_factory(nplanes, **kw):
         outs = rest[nplanes:2 * nplanes]
         bufs = rest[2 * nplanes:3 * nplanes]
         accs = rest[3 * nplanes:4 * nplanes]
-        lsem, fsem = rest[4 * nplanes:]
+        lsem, fsem, nout = rest[4 * nplanes:]
         _seqroute_body(meta, cnt_ref, base_ref, slot_ref, padv_ref,
-                       srcs, outs, bufs, accs, lsem, fsem,
+                       srcs, outs, bufs, accs, lsem, fsem, nout,
                        nplanes=nplanes, **kw)
     return kernel
 
@@ -280,6 +299,7 @@ def _seqroute_exe(w_rows: int, ntiles: int, rmax: int, pitch: int,
             + [
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SMEM((1,), jnp.int32),
             ]
         ),
     )
@@ -343,10 +363,16 @@ def _permute_body(sched_ref, srcs, outs, ring, rsem, wsem, *, nplanes):
     """Grid step = SCHED_CHUNK schedule entries; entry fields (stride 4):
 
       rd_slot — W block to read (-1 none)
-      rd_buf  — ring slot 0..RING-1 for the read; RING = the stage
-                buffer (cycle head)
-      wr_slot — W block to write (-1 none)
-      wr_buf  — ring slot whose content to write (RING = stage)
+      rd_buf  — ring slot 0..RING-1 for the read; RING..RING+NSTAGE-1 =
+                rotating stage buffers (cycle heads)
+      wr_slot — W block to write; -1 none; -2 dummy (consume rsem[wb]
+                without a DMA — placed before each cycle's first write
+                so the stage read of the cycle head has completed
+                before its slot is overwritten)
+      wr_buf  — ring slot whose content to write (RING = stage);
+                values >= RING+NSTAGE encode buf wb-(RING+NSTAGE)
+                written WITHOUT waiting rsem (the cycle-closing stage
+                write, whose read token the dummy already consumed)
 
     Reads are issued LOOK entries ahead of their consuming writes; a
     read into buffer b first waits b's previous write (wsem[b], primed
@@ -356,7 +382,8 @@ def _permute_body(sched_ref, srcs, outs, ring, rsem, wsem, *, nplanes):
     issue lookahead is only LOOK — by the time a read waits on wsem[b],
     that buffer's consuming write is ~RING/2 entries old.  The final
     grid step drains one write token per buffer (every buffer ends with
-    exactly one unconsumed write or its priming token)."""
+    exactly one unconsumed write or its priming token).  Build the
+    schedule with engine_v5.permute_schedule."""
     LOOK = RING // 2
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -364,7 +391,7 @@ def _permute_body(sched_ref, srcs, outs, ring, rsem, wsem, *, nplanes):
 
     @pl.when(c == 0)
     def _():
-        for b in range(RING + 1):
+        for b in range(RING + NSTAGE):
             for p in range(nplanes):
                 pltpu.make_async_copy(
                     ring[p].at[b], ring[p].at[b], wsem.at[b]
@@ -400,15 +427,31 @@ def _permute_body(sched_ref, srcs, outs, ring, rsem, wsem, *, nplanes):
         wr = entry(j, 2)
         wb = entry(j, 3)
 
-        @pl.when(wr >= 0)
+        # wr == -2: dummy wait — consume rsem[wb] without a DMA.  The
+        # schedule places one before each cycle's first write so the
+        # stage read of the cycle head (whose slot that write targets)
+        # is complete before being overwritten.
+        @pl.when(wr == -2)
         def _():
             for p in range(nplanes):
                 _blk_wait(ring[p].at[0], rsem.at[wb])
+
+        @pl.when(wr >= 0)
+        def _():
+            # wb >= RING+NSTAGE encodes a no-wait write from buf
+            # wb-(RING+NSTAGE): used for the cycle-closing write from
+            # the stage buffer, whose read token the dummy consumed.
+            wbe = lax.rem(wb, RING + NSTAGE)
+
+            @pl.when(wb < RING + NSTAGE)
+            def _():
+                for p in range(nplanes):
+                    _blk_wait(ring[p].at[0], rsem.at[wbe])
             for p in range(nplanes):
                 pltpu.make_async_copy(
-                    ring[p].at[wb],
+                    ring[p].at[wbe],
                     outs[p].at[pl.ds(wr * BLKROWS, BLKROWS), :],
-                    wsem.at[wb],
+                    wsem.at[wbe],
                 ).start()
         return 0
 
@@ -416,7 +459,7 @@ def _permute_body(sched_ref, srcs, outs, ring, rsem, wsem, *, nplanes):
 
     @pl.when(c == nc - 1)
     def _():
-        for b in range(RING + 1):
+        for b in range(RING + NSTAGE):
             for p in range(nplanes):
                 _blk_wait(ring[p].at[0], wsem.at[b])
 
@@ -446,11 +489,11 @@ def _permute_exe(w_rows: int, nchunks: int, nplanes: int,
         ),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
         scratch_shapes=(
-            [pltpu.VMEM((RING + 1, BLKROWS, LANES), jnp.int32)]
+            [pltpu.VMEM((RING + NSTAGE, BLKROWS, LANES), jnp.int32)]
             * nplanes
             + [
-                pltpu.SemaphoreType.DMA((RING + 1,)),
-                pltpu.SemaphoreType.DMA((RING + 1,)),
+                pltpu.SemaphoreType.DMA((RING + NSTAGE,)),
+                pltpu.SemaphoreType.DMA((RING + NSTAGE,)),
             ]
         ),
     )
