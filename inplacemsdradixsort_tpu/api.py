@@ -111,9 +111,10 @@ def sort(
 
     if engine in ("v4", "v5", "lsb"):
         # flagship engine (v4: exact-histogram MSD), the in-place v5
-        # (peak ~1.25x N HBM — the reference's defining feature,
-        # msb_64.c:497-699, 2016-2158; v5 CONSUMES its input buffers
-        # like the reference sorts the caller's arrays in place), or the
+        # (the reference's defining feature, msb_64.c:497-699,
+        # 2016-2158: engine working set ~(1+frac) x N; feeding it whole
+        # arrays adds the input itself — use sort_v5_from_chunks for
+        # the resident >half-HBM path), or the
         # LSB ping-pong variant (the reference suite's lsb_32/lsb_64,
         # Makefile:8-24); all take multi-plane payloads (u64 keys and/or
         # u64 rids as extra u32 planes); i32/i64/f32 go through the

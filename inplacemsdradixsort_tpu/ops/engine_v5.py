@@ -556,9 +556,10 @@ def sort_v5(
     """Sort uint32 keys (with 0..2 uint32 payload planes) in place on
     one chip: peak engine HBM ~= (1 + v5_batch_frac) x N.
 
-    Ordering matches sort_v4: lexicographic by (key, *vals).  Inputs are
-    donated into the working buffer; callers holding references to the
-    arrays keep XLA from releasing them.
+    Ordering matches sort_v4: lexicographic by (key, *vals).  The input
+    arrays are not consumed; the engine working set is W (+frac) beside
+    them — callers needing the resident >half-HBM path should deliver
+    data through ``sort_v5_from_chunks`` instead of one big array.
     """
     cfg = cfg or SortConfig()
     timer = timer or PhaseTimer(enabled=False)

@@ -44,7 +44,9 @@ def test_quick_v5():
 def test_quick_lsb():
     from inplacemsdradixsort_tpu.ops.engine_lsb import sort_lsb
     x = _keys(30_000, seed=2)
-    cfg = SortConfig(**TINY)
+    # digit mode needs sort_rows > 2^lsb_digit_bits run slots
+    cfg = SortConfig(interpret=True, min_engine_n=1, v3_sort_rows=512,
+                     v3_cap_rows=64, lsb_digit_bits=8)
     out, _ = sort_lsb(jnp.asarray(x), (), cfg)
     assert np.array_equal(np.asarray(out), np.sort(x))
 
@@ -52,14 +54,14 @@ def test_quick_lsb():
 def test_quick_chunked():
     from inplacemsdradixsort_tpu.ops.chunked import sort_external
     rng = np.random.default_rng(3)
-    nchunks, csz = 4, 20_480
+    nchunks, csz = 2, 20_480
     chunks = [rng.integers(0, 2**32, csz, dtype=np.uint32)
               for _ in range(nchunks)]
     cfg = SortConfig(**TINY)
     got = np.concatenate([
         np.asarray(piece[0]) for piece in sort_external(
             lambda i: (jnp.asarray(chunks[i]),), nchunks,
-            nchunks * csz, cfg)
+            nchunks * csz, cfg, nranges=4)
     ])
     assert np.array_equal(got, np.sort(np.concatenate(chunks)))
 
