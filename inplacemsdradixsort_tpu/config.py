@@ -85,6 +85,9 @@ class SortConfig:
     # --- distributed ---
     mesh_axes: Tuple[str, ...] = ("shard",)
     exchange_fudge: float = 2.0   # padding factor for the all-to-all exchange
+    # segment-packed lax.ragged_all_to_all exchange (exact wire bytes
+    # under skew); False = dense exact-cap all_to_all + compaction
+    ragged_exchange: bool = True
 
     def __post_init__(self):
         assert self.tile_elems % self.lanes == 0

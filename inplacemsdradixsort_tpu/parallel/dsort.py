@@ -111,10 +111,25 @@ def _count_matrix(keys, bounds, mesh):
     return lax.all_gather(send_counts, _axes(mesh))       # (S, S)
 
 
-def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh):
-    """P4-P11: classify, group, exact-cap all_to_all, compact received
-    segments.  ``send_cap``/``recv_cap`` are exact upper bounds fetched
-    from the count matrix — no overflow is possible."""
+def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh,
+              ragged_caps=None):
+    """P4-P11: classify, group, exchange, compact received segments.
+
+    With ``ragged_caps`` (a per-round static cap tuple from the fetched
+    count matrix): segment-packed round-robin exchange — round r moves
+    every shard's segment for destination (me+r) % S via ``ppermute``,
+    padded only to THAT round's worst segment, and lands it at its
+    exact receiver offset (read-modify-write).  Wire bytes = sum of
+    per-round caps ~= the exact segment bytes under skew, vs the dense
+    path's S x max-segment padding (the reference's block exchange
+    without its 4096-tuple padding, msb_64.c:1672-2158).  ppermute
+    rides ICI neighbor links; XLA:CPU supports it, so the same path is
+    testable on the virtual mesh (the native ragged-all-to-all HLO is
+    TPU-only in this toolchain).
+
+    ``ragged_caps=None`` keeps the dense exact-cap all_to_all fallback.
+    ``send_cap``/``recv_cap`` are exact upper bounds fetched from the
+    count matrix — no overflow is possible on either path."""
     axis = _axes(mesh)
     num_shards = bounds.shape[0] + 1
     n_local = keys.shape[0]
@@ -135,8 +150,44 @@ def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh):
     )
     send_starts = jnp.cumsum(send_counts) - send_counts
     all_counts = lax.all_gather(send_counts, axis)        # (S, S)
-    recv_counts = all_counts[:, _my_shard(mesh)]          # (S,)
+    me = _my_shard(mesh)
+    recv_counts = all_counts[:, me]                       # (S,)
     total_recv = jnp.sum(recv_counts)
+
+    if ragged_caps is not None:
+        S = num_shards
+        cap_max = max(max(ragged_caps), 1)
+        recv_starts = jnp.cumsum(recv_counts) - recv_counts
+
+        def ship(x, fill):
+            fillv = jnp.asarray(fill, x.dtype)
+            src_pad = jnp.concatenate(
+                [x, jnp.full((cap_max,), fillv, x.dtype)])
+            out_pad = jnp.full((recv_cap + cap_max,), fillv, x.dtype)
+            for r in range(S):
+                cap_r = int(ragged_caps[r])
+                if cap_r == 0:
+                    continue
+                dst = lax.rem(me + r, S)
+                src_sh = lax.rem(me - r + S, S)
+                seg = lax.dynamic_slice(
+                    src_pad, (jnp.take(send_starts, dst),), (cap_r,))
+                if r:
+                    perm = [(i, (i + r) % S) for i in range(S)]
+                    seg = lax.ppermute(seg, axis, perm)
+                cnt_f = jnp.take(recv_counts, src_sh)
+                rs = jnp.take(recv_starts, src_sh)
+                cur = lax.dynamic_slice(out_pad, (rs,), (cap_r,))
+                j = jnp.arange(cap_r)
+                out_pad = lax.dynamic_update_slice(
+                    out_pad, jnp.where(j < cnt_f, seg, cur), (rs,))
+            return out_pad[:recv_cap]
+
+        rk = ship(sorted_keys, SENT32)
+        rr = None
+        if rids is not None:
+            rr = ship(sorted_rids, SENT32)
+        return rk, rr, total_recv
 
     def pack(x, fill):
         j = jnp.arange(send_cap)[None, :]
@@ -179,7 +230,7 @@ def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh):
 
 def _build_steps(mesh: Mesh, cfg: SortConfig, n_local: int, pairs: bool,
                  send_cap: int, recv_cap: int, sample_per_shard: int,
-                 seed: int):
+                 seed: int, ragged_caps=None):
     S = mesh.devices.size
     data_spec = _data_spec(mesh)
     rid_spec = data_spec if pairs else P()
@@ -207,7 +258,7 @@ def _build_steps(mesh: Mesh, cfg: SortConfig, n_local: int, pairs: bool,
     def exchange(keys, rids, bounds):
         rk, rr, total = _exchange(
             keys, rids if pairs else None, bounds, send_cap, recv_cap,
-            mesh,
+            mesh, ragged_caps=ragged_caps,
         )
         if rr is None:
             rr = jnp.zeros((1,), jnp.uint32)
@@ -343,10 +394,19 @@ def distributed_sort(
         send_cap = _shape_cap(int(cnt.max()))
         recv_cap = _shape_cap(int(cnt.sum(axis=0).max()))
         recv_cap = max(recv_cap, LANES)
+        ragged_caps = None
+        if config.ragged_exchange:
+            # per-round exact caps: round r moves segment (i -> (i+r)%S)
+            ragged_caps = tuple(
+                _shape_cap(int(max(
+                    cnt[i, (i + r) % S] for i in range(S)
+                ))) if max(cnt[i, (i + r) % S] for i in range(S)) else 0
+                for r in range(S)
+            )
 
     _, _, exchange = _build_steps(
         mesh, config, n_local, pairs, send_cap, recv_cap,
-        sample_per_shard, seed,
+        sample_per_shard, seed, ragged_caps,
     )
     with timer.phase("balance"):
         rk, rr, totals = exchange(keys, rids if pairs else dummy, bounds)

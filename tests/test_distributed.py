@@ -105,3 +105,48 @@ def test_make_sort_mesh_refuses_undersized_backend():
     have = len(jax.devices())
     with pytest.raises(RuntimeError, match="need"):
         make_sort_mesh(have + 1)
+
+
+def test_ragged_exchange_skew_and_parity():
+    """10:1 skewed destinations: the ragged exchange must (a) match the
+    dense path bitwise, and (b) keep the receive buffer within ~1.25x
+    the worst shard's exact receive total (the dense path's compaction
+    source was S x max-segment) — SURVEY §2.6.4, msb_64.c:1672-2158."""
+    mesh = _mesh()
+    S = mesh.devices.size
+    rng = np.random.default_rng(42)
+    n = S * 8192
+    # 10:1 skew towards the top range: 10/11 of keys >= 0xF000_0000
+    hot = rng.integers(0xF0000000, 0xFFFFFFFF, (10 * n) // 11,
+                       dtype=np.uint32)
+    cold = rng.integers(0, 2**32, n - hot.shape[0], dtype=np.uint32)
+    keys = np.concatenate([hot, cold])
+    rng.shuffle(keys)
+    keys = jnp.asarray(keys)
+
+    res_r = dsort.distributed_sort(
+        keys, mesh=mesh, config=SortConfig(ragged_exchange=True))
+    res_d = dsort.distributed_sort(
+        keys, mesh=mesh, config=SortConfig(ragged_exchange=False))
+    got_r = dsort.gather_sorted(res_r)
+    got_d = dsort.gather_sorted(res_d)
+    assert np.array_equal(got_r, np.sort(np.asarray(keys)))
+    assert np.array_equal(got_r, got_d)
+    # receive-buffer economy: per-shard buffer <= 1.25x worst exact total
+    worst = int(np.asarray(jax.device_get(res_r.counts)).max())
+    assert res_r.keys.shape[1] <= max(128, int(1.25 * worst))
+
+
+def test_ragged_exchange_pairs():
+    mesh = _mesh()
+    n = 1 << 14
+    rng = np.random.default_rng(3)
+    keys = jnp.asarray(rng.integers(0, 1000, n, dtype=np.uint32))
+    rids = jnp.arange(n, dtype=jnp.uint32)
+    res = dsort.distributed_sort(
+        keys, rids, mesh=mesh, config=SortConfig(ragged_exchange=True))
+    got_k = dsort.gather_sorted(res)
+    got_r = dsort.gather_rids(res)
+    order = np.lexsort((np.asarray(rids), np.asarray(keys)))
+    assert np.array_equal(got_k, np.asarray(keys)[order])
+    assert np.array_equal(got_r, np.asarray(rids)[order])
