@@ -23,7 +23,10 @@ else
     EXTRA_INC="-I$(dirname "$0")/numa_shim"
     EXTRA_LIB=""
 fi
+# --wrap=malloc/calloc: sentinel-tail allocator shim working around the
+# reference's numa_dest overread (msb_64.c:2168) — see ref_driver.c
 gcc -O3 -march=native $EXTRA_INC -I"$REF/include" -I"$REF/src" \
     "$(dirname "$0")/ref_driver.c" "$REF/src/msb_64.c" "$REF/src/rand.c" \
-    -o "$OUT/msb_64_bench" -lpthread $EXTRA_LIB -lm
+    -o "$OUT/msb_64_bench" -Wl,--wrap=malloc,--wrap=calloc \
+    -lpthread $EXTRA_LIB -lm
 "$OUT/msb_64_bench" "$LOGN" "${NUMA_NODES:-1}"

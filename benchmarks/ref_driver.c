@@ -18,7 +18,11 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <stdint.h>
+#include <string.h>
 #include <time.h>
+#include <signal.h>
+#include <execinfo.h>
+#include <unistd.h>
 #include "msb_64.h"
 #include "rand.h"
 
@@ -28,13 +32,56 @@
 uint64_t check(uint64_t **keys, uint64_t **rids, uint64_t *size,
                int numa, int same);
 
+/* Upstream bug mitigation (found via ASAN on this harness): the
+ * per-node partition scan `for (; d->numa_dest[p] == numa_node ; ++p);`
+ * (msb_64.c:2168) runs one past the 128-entry numa_dest array for the
+ * LAST numa node; whether it stops depends on the heap bytes after the
+ * malloc'd block (glibc chunk header usually != 0, so upstream survives
+ * by luck; on this box it intermittently reads 0 and runs wild, crashing
+ * in inject()).  Linked with -Wl,--wrap=malloc,--wrap=calloc, every
+ * allocation gets a 64-byte 0xFF sentinel tail, making the overread
+ * deterministic and harmless without touching the reference sources. */
+void *__real_malloc(size_t n);
+void *__real_calloc(size_t n, size_t m);
+void *__wrap_malloc(size_t n) {
+    char *p = __real_malloc(n + 64);
+    if (p) memset(p + n, 0xFF, 64);
+    return p;
+}
+void *__wrap_calloc(size_t n, size_t m) {
+    size_t bytes = n * m;
+    char *p = __real_malloc(bytes + 64);
+    if (!p) return NULL;
+    memset(p, 0, bytes);
+    memset(p + bytes, 0xFF, 64);
+    return p;
+}
+
 static double now_sec(void) {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return ts.tv_sec + ts.tv_nsec * 1e-9;
 }
 
+/* On SIGSEGV, print a raw backtrace (addresses resolvable via
+ * addr2line) — this box has no debugger. */
+static void segv_handler(int sig) {
+    static const char msg[] = "=== SIGSEGV backtrace ===\n";
+    ssize_t r = write(2, msg, sizeof(msg) - 1);
+    void *bt[32];
+    int n = backtrace(bt, 32);
+    backtrace_symbols_fd(bt, n, 2);
+    _exit(139);
+    (void)sig; (void)r;
+}
+
 int main(int argc, char **argv) {
+    {   /* pre-load libgcc so backtrace() is async-safe later */
+        void *bt[2];
+        backtrace(bt, 2);
+    }
+    signal(SIGSEGV, segv_handler);
+    signal(SIGBUS, segv_handler);
     uint64_t log_n = argc > 1 ? strtoull(argv[1], 0, 10) : 27;
     int numa_nodes = argc > 2 ? atoi(argv[2]) : 1;
     uint64_t total_pre = 1ull << (argc > 1 ? strtoull(argv[1], 0, 10) : 27);

@@ -93,6 +93,28 @@ def main():
         LOG(f"{row['config']:<24} {n/t/1e9:7.3f} Gr/s  "
             f"xla {n/tb/1e9:7.3f}  x{tb/t:5.2f}")
 
+        # u64 keys — the reference's native type (msb_64.h:37); sorted
+        # as (hi, lo) u32 planes through the same engine
+        with jax.enable_x64(True):
+            k64 = jax.jit(
+                lambda s: jax.random.bits(s, (n,), dtype=jnp.uint64)
+            )(jax.random.key(2))
+            _sync(k64)
+            out = rs.sort(k64, config=cfg).keys
+            ok = bool(jnp.all(out[1:] >= out[:-1]))
+
+            def one_u64():
+                res = rs.sort(k64, config=cfg)
+                if not res.synced:
+                    _sync(res.keys)
+            t = timeit(one_u64)
+            tb = timeit(lambda: _sync(jsort(k64)))
+        row = dict(config=f"2^{logn} uniform u64", keys_per_s=n / t,
+                   xla_keys_per_s=n / tb, speedup=tb / t, correct=ok)
+        results.append(row)
+        LOG(f"{row['config']:<24} {n/t/1e9:7.3f} Gk/s  "
+            f"xla {n/tb/1e9:7.3f}  x{tb/t:5.2f}  ok={ok}")
+
     outpath = os.path.join(os.path.dirname(__file__), "results.json")
     with open(outpath, "w") as f:
         json.dump(results, f, indent=1)

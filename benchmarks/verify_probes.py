@@ -59,6 +59,29 @@ def main():
     for name, x in dists.items():
         probe(f"dist {name}", np.array_equal(sort_np(x), np.sort(x)))
 
+    # ---- adaptive-scheduler contract: no adversarial class at
+    # production scale reaches the whole-array XLA fallback
+    # (schedule_passes analog, msb_64.c:1334-1400; VERDICT r3 item 5)
+    from inplacemsdradixsort_tpu.ops import engine_v4
+    n26 = 1 << 26
+    adv = {
+        "zipf1.1": (rng.zipf(1.1, n26) % (1 << 32)).astype(np.uint32),
+        "dup8": rng.integers(0, 8, n26).astype(np.uint32),
+        "allequal26": np.full(n26, 0xCAFEBABE, np.uint32),
+        "maxheavy26": np.where(
+            rng.random(n26) < 0.5, np.uint32(0xFFFFFFFF),
+            rng.integers(0, 2**32, n26).astype(np.uint32)
+        ).astype(np.uint32),
+    }
+    for name, x in adv.items():
+        engine_v4.reset_fallback_stats()
+        ok = np.array_equal(sort_np(x), np.sort(x))
+        st = dict(engine_v4.FALLBACK_STATS)
+        nofb = st["overflow"] == 0 and st["plan"] == 0 and \
+            st["small_n"] == 0
+        probe(f"no-fallback {name} {st}", ok and nofb)
+    del adv
+
     # ---- stability (sort_with_indices vs stable argsort)
     x = rng.integers(0, 1000, 1 << 20).astype(np.uint32)
     k, r = rs.sort_with_indices(jnp.asarray(x))

@@ -42,8 +42,12 @@ class SortConfig:
     use_sample_splitters: bool = True   # hybrid sample+radix delimiters
     vmem_sort_elems: int = 1 << 18      # bucket size sortable fully in VMEM
 
-    # --- v3 engine geometry (None = auto) ---
-    v3_sort_rows: int = 2048      # rows per tile-sort (x128 lanes, pow2)
+    # --- v3/v4 engine geometry (None = auto) ---
+    # rows per level tile-sort (x128 lanes, pow2).  1024 beats 2048 by
+    # ~9% on chip: the level network is log2(E)(log2(E)+1)/2 stages
+    # (153 vs 171) and the extra phantom-pad cost at the smaller pitch
+    # is ~3% (geom sweep r4, benchmarks/geom_sweep_v4.py)
+    v3_sort_rows: int = 1024
     v3_rmax: Optional[int] = None     # ranges per parent per level
     v3_cap_rows: Optional[int] = None  # terminal bucket capacity rows
 
@@ -74,7 +78,8 @@ class SortConfig:
     # class sorts with a network sized to its cap (cap, cap/2, cap/4 ...)
     # — the ``schedule_passes`` pass-sizing idea (msb_64.c:1334-1400)
     # applied to the terminal tier.  1 = single full-cap pass.
-    term_classes: int = 1
+    # 3 classes beat 1 by ~3% on chip (geom sweep r4).
+    term_classes: int = 3
 
     # --- engine selection ---
     engine: str = "auto"  # "auto" | "v4" | "v5" | "v3" | "lsb" | "pallas" | "xla"

@@ -48,6 +48,16 @@ from .kernels_v4 import (LANES, CHUNK_ROWS, hist_level, route_level,
 
 U32_MAX = np.uint32(0xFFFFFFFF)
 
+# ---- engine-path observability (the probe contract for the adaptive
+# scheduler: no adversarial input class at production sizes may reach
+# the whole-array XLA fallback; tests/probes assert on these counters)
+FALLBACK_STATS = {"small_n": 0, "plan": 0, "overflow": 0, "retry": 0}
+
+
+def reset_fallback_stats() -> None:
+    for k in FALLBACK_STATS:
+        FALLBACK_STATS[k] = 0
+
 
 # ============================================================== sample
 
@@ -342,13 +352,21 @@ class _GeomV4:
     heavy_cnt: int
     cap_S: int
     nb_want: int
+    two_level: bool = True
 
 
 def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
                   nb_mult: float = 1.0) -> _GeomV4:
     """Static topology from the TARGET bucket count.  The actual bucket
     count is data-dependent and computed on device, bounded by the
-    planner's rmax^2 clamp; the device path is always two-level."""
+    planner's clamp (rmax one-level, rmax^2 two-level).
+
+    Level-count selection is the ``schedule_passes`` analog
+    (msb_64.c:1334-1400): when the estimated bucket count fits one
+    rmax-wide level with headroom, plan ONE partition sweep + terminal
+    instead of two — a full read+sort+write pass saved at small/mid n
+    (and for per-shard local sorts).  A retry (nb_mult x2) that outgrows
+    the one-level clamp re-plans two-level."""
     cap_rows, nb_want = _geometry(n, nplanes, cfg)
     nb_want = max(16, int(nb_want * nb_mult))
     ssz = int(min(max(cfg.sample_rate * n, 4096), cfg.sample_cap))
@@ -362,10 +380,18 @@ def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
         prefix_bits = min(8, max(2, int(math.log2(max(nb_want // 4, 4)))))
         nrad = 1 << prefix_bits
     est_nb = int(nb_want * 1.3) + nrad + 2
-    rmax = cfg.v3_rmax or (
-        32 if est_nb <= 1024 else (
-            48 if est_nb <= 2304 else (64 if est_nb <= 4096 else 96))
-    )
+    if cfg.v3_rmax:
+        rmax = cfg.v3_rmax
+        two_level = est_nb > max(1, (3 * rmax) // 4)
+    elif est_nb > 64:
+        two_level = True
+        rmax = (32 if est_nb <= 1024 else (
+            48 if est_nb <= 2304 else (64 if est_nb <= 4096 else 96)))
+    else:
+        # one-level: every bucket is an L1 range; 1.5x headroom between
+        # the estimate and the clamp keeps tail-merge overflows rare
+        two_level = False
+        rmax = 64 if est_nb <= 42 else 96
     sort_rows = cfg.v3_sort_rows
     pitch = sort_rows - rmax
     assert pitch > 0, (sort_rows, rmax)
@@ -376,11 +402,15 @@ def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
         rows1_max + rmax * CHUNK_ROWS
         + max(pitch, 2 * cap_rows) + CHUNK_ROWS
     )
-    t2max = max(_ceil_div(rows1_max, pitch) + rmax, 1)
-    rows2_max = rows1_max + t2max * rmax
-    arena2_rows = _shape_class(
-        rows2_max + rmax * rmax * CHUNK_ROWS + 2 * cap_rows + CHUNK_ROWS
-    )
+    if two_level:
+        t2max = max(_ceil_div(rows1_max, pitch) + rmax, 1)
+        rows2_max = rows1_max + t2max * rmax
+        arena2_rows = _shape_class(
+            rows2_max + rmax * rmax * CHUNK_ROWS
+            + 2 * cap_rows + CHUNK_ROWS
+        )
+    else:
+        t2max, arena2_rows = 1, 8
     out_rows = rows_in + 2 * CHUNK_ROWS + 2
     heavy_frac = max(0.3 / nb_want, 0.002)
     return _GeomV4(
@@ -391,6 +421,7 @@ def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
         prefix_bits=prefix_bits,
         heavy_cnt=max(1, int(math.ceil(heavy_frac * S))),
         cap_S=max(1, S // nb_want), nb_want=nb_want,
+        two_level=two_level,
     )
 
 
@@ -487,8 +518,9 @@ def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
         (da != 0) | (dh != 0) | (idx == m - 1) | (kb_next > kb)
     )
 
-    # ---- clamp to the rmax^2 topology and force full coverage
-    NBF = min(NBD, rmax * rmax)
+    # ---- clamp to the topology (rmax one-level, rmax^2 two-level) and
+    # force full coverage
+    NBF = min(NBD, rmax if not g.two_level else rmax * rmax)
     kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     keep2 = keep & (kpos < NBF)
     nbk = jnp.minimum(jnp.sum(keep2.astype(jnp.int32)), NBF)
@@ -520,7 +552,10 @@ def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
     drop1 = (keys_only & (glen == 1) & hvb[:, 0]
              & (gidx * per < nbk)).astype(jnp.int32)
     drop2 = (keys_only & hvb & (glen[:, None] > 1)).astype(jnp.int32)
-    cidx = gidx[:, None] * rmax + jj
+    # one-level: the terminal child IS the L1 range (gi); two-level: the
+    # L2-flattened slot (msb_64.c one- vs multi-pass plan, :1344-1380)
+    cidx = (gidx[:, None] * rmax + jj if g.two_level
+            else jnp.broadcast_to(gidx[:, None], (rmax, rmax)))
     term_valid = in_group & jnp.where(drop1[:, None] != 0, jj == 0, True)
     term_child = jnp.where(
         drop1[:, None] != 0, -1 - gidx[:, None], cidx
@@ -555,7 +590,8 @@ def _pipeline_v4_dev(
         planes, tb, n=g.n, nplanes=g.nplanes, nlex=nlex, rmax=g.rmax,
         pitch=g.pitch, cap_rows=g.cap_rows, ntiles1=g.ntiles1,
         t2max=g.t2max, arena1_rows=g.arena1_rows,
-        arena2_rows=g.arena2_rows, out_rows=g.out_rows, two_level=True,
+        arena2_rows=g.arena2_rows, out_rows=g.out_rows,
+        two_level=g.two_level,
         interpret=interpret, debug=debug, stage=stage, nclasses=nclasses,
     )
     if debug:
@@ -938,6 +974,7 @@ def sort_v4(
     n = int(keys.shape[0])
     thr = cfg.min_engine_n if cfg.min_engine_n is not None else (1 << 16)
     if n < thr and _depth == 0:
+        FALLBACK_STATS["small_n"] += 1
         return _xla_fallback(keys, vals)
     with jax.enable_x64(False):
         return _sort_v4_body(keys, vals, cfg, timer, _nb_mult, _depth, n)
@@ -964,6 +1001,7 @@ def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
         try:
             plan = make_plan_v4(n, stats, S, nplanes, cfg, nb_mult)
         except ValueError:
+            FALLBACK_STATS["plan"] += 1
             return _xla_fallback(keys, vals)
 
     with timer.phase("part_blocks"):
@@ -986,8 +1024,10 @@ def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
         _debug_validate(plan, dbg, over)
     if over:
         if depth < 2:
+            FALLBACK_STATS["retry"] += 1
             return _sort_v4_body(keys, vals, cfg, timer, nb_mult * 2.0,
                                  depth + 1, n)
+        FALLBACK_STATS["overflow"] += 1
         return _xla_fallback(keys, vals)
     return final[0], tuple(final[1:])
 
@@ -1019,8 +1059,10 @@ def _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult, depth, n):
                                if not k.startswith("tb_")}, over)
     if over:
         if depth < 2:
+            FALLBACK_STATS["retry"] += 1
             return _sort_v4_body_dev(keys, vals, cfg, timer,
                                      nb_mult * 2.0, depth + 1, n)
+        FALLBACK_STATS["overflow"] += 1
         return _xla_fallback(keys, vals)
     return final[0], tuple(final[1:])
 

@@ -621,6 +621,7 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
         try:
             plan = _v5_plan(stats, S, nplanes, cfg, g.nb_want, g.rmax)
         except ValueError:
+            engine_v4.FALLBACK_STATS["plan"] += 1
             planes2 = _step_extract(w, n=n)
             return _xla_fallback(planes2[0], planes2[1:])
 
@@ -672,8 +673,10 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
             )
             planes2 = _step_compact(w, spans=spans)
             if depth < 2:
+                engine_v4.FALLBACK_STATS["retry"] += 1
                 return _sort_v5_body(planes2[0], planes2[1:], cfg,
                                      timer, nb_mult * 2.0, depth + 1, n)
+            engine_v4.FALLBACK_STATS["overflow"] += 1
             return _xla_fallback(planes2[0], planes2[1:])
 
         for h2, tbl in zip(hist2s, tbls):

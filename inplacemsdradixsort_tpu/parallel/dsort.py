@@ -314,7 +314,7 @@ def _local_sort_v4(rk, rr, mesh, cfg: SortConfig, recv_cap: int,
                 nlex=nplanes - 1, rmax=g.rmax, pitch=g.pitch,
                 cap_rows=g.cap_rows, ntiles1=g.ntiles1, t2max=g.t2max,
                 arena1_rows=g.arena1_rows, arena2_rows=g.arena2_rows,
-                out_rows=g.out_rows, two_level=True,
+                out_rows=g.out_rows, two_level=g.two_level,
                 interpret=cfg.interpret, nclasses=cfg.term_classes,
             )
             over = lax.pmax(over, _axes(mesh))

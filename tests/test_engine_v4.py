@@ -170,3 +170,52 @@ def test_device_planner_matches_oracle_on_skew():
                  rng.integers(0, 2**32, N).astype(np.uint32))
     k, _ = sort_v4(jnp.asarray(x.astype(np.uint32)), (), CFG)
     assert np.array_equal(np.asarray(k), np.sort(x.astype(np.uint32)))
+
+
+def test_no_fallback_on_adversarial_classes():
+    """Adaptive-scheduler contract (schedule_passes analog,
+    msb_64.c:1334-1400): adversarial input classes sort through the
+    engine path — the whole-array XLA fallback counter stays zero
+    (VERDICT r3 item 5; the chip-scale probe lives in
+    benchmarks/verify_probes.py at 2^26)."""
+    from inplacemsdradixsort_tpu.ops import engine_v4
+    rng = np.random.default_rng(7)
+    classes = {
+        "zipf1.1": (rng.zipf(1.1, N) % (1 << 32)).astype(np.uint32),
+        "dup8": rng.integers(0, 8, N).astype(np.uint32),
+        "allequal": np.full(N, 0xCAFEBABE, np.uint32),
+        "maxheavy": np.where(
+            rng.random(N) < 0.5, np.uint32(0xFFFFFFFF),
+            rng.integers(0, 2**32, N).astype(np.uint32)
+        ).astype(np.uint32),
+    }
+    for name, x in classes.items():
+        engine_v4.reset_fallback_stats()
+        k, _ = sort_v4(jnp.asarray(x), (), CFG)
+        assert np.array_equal(np.asarray(k), np.sort(x)), name
+        st = engine_v4.FALLBACK_STATS
+        assert st["overflow"] == 0 and st["plan"] == 0 \
+            and st["small_n"] == 0, (name, dict(st))
+
+
+def test_one_level_device_plan():
+    """The device planner's adaptive level-count selection: a bucket
+    estimate that fits one rmax-wide level plans ONE partition sweep +
+    terminal (no L2 arena), and still sorts correctly."""
+    from inplacemsdradixsort_tpu.ops.engine_v4 import _dev_geometry
+    rng = np.random.default_rng(11)
+    cfg = SortConfig(interpret=True, v3_sort_rows=128, v3_rmax=48,
+                     v3_cap_rows=64)
+    n = 40_000
+    g = _dev_geometry(n, 1, cfg)
+    assert not g.two_level, g
+    assert g.arena2_rows == 8  # no L2 arena allocated
+    x = rng.integers(0, 2**32, n, dtype=np.uint32)
+    k, _ = sort_v4(jnp.asarray(x), (), cfg)
+    assert np.array_equal(np.asarray(k), np.sort(x))
+    # pairs through the same one-level plan
+    v = np.arange(n, dtype=np.uint32)
+    k, vs = sort_v4(jnp.asarray(x), (jnp.asarray(v),), cfg)
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(np.asarray(k), x[order])
+    assert np.array_equal(np.asarray(vs[0]), order.astype(np.uint32))
