@@ -636,8 +636,15 @@ def _terminal_body(
 
         # ---- write rows [q0, q0+span) EXACTLY (no chunk overshoot:
         # classes interleave in output order, so rows past my span may
-        # already hold other buckets' finished content)
-        nfull = span // CHUNK_ROWS
+        # already hold other buckets' finished content).
+        # mode-1 with a partial last row: that row is written ONLY by
+        # the merged-tail patch store below — writing it here too would
+        # race two in-flight DMAs on one row (observed as interleaved
+        # 8-lane granules of fill value inside the next bucket's lanes,
+        # zipf1.1 @ 2^26)
+        npatch = jnp.where((mode == 1) & (end_phase > 0), 1, 0)
+        wspan = span - npatch
+        nfull = wspan // CHUNK_ROWS
         def wb(i, _):
             src_r = jnp.where(
                 mode == 0, 1 + i * CHUNK_ROWS,
@@ -653,7 +660,7 @@ def _terminal_body(
         lax.fori_loop(0, nfull, wb, 0, unroll=False)
 
         # remainder rows via binary decomposition (exact, <=log2 DMAs)
-        rem = span % CHUNK_ROWS
+        rem = wspan % CHUNK_ROWS
         done = nfull * CHUNK_ROWS
         sz = CHUNK_ROWS // 2
         while sz >= 1:
@@ -676,8 +683,8 @@ def _terminal_body(
             done = done + jnp.where(bit, sz, 0)
             sz //= 2
 
-        # mode-1 tail patch: rewrite the final row with merged content
-        npatch = jnp.where((mode == 1) & (end_phase > 0), 1, 0)
+        # mode-1 tail patch: the merged final row (sole writer of that
+        # row — see wspan above)
         @pl.when(npatch > 0)
         def _():
             for p in range(min(nplanes, 1)):
