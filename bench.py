@@ -127,7 +127,10 @@ def bench_chunked(logn: int):
 def main():
     logn = int(os.environ.get("BENCH_LOGN", "28"))
     n = 1 << logn
-    if logn >= 30:
+    # 2^30+: out-of-core chunked path by default; BENCH_RESIDENT=1
+    # benches the HBM-resident in-place v5 engine instead (~1.25 x N
+    # peak HBM — the reference's in-place contract, msb_64.c:497-699)
+    if logn >= 30 and os.environ.get("BENCH_RESIDENT", "0") != "1":
         bench_chunked(logn)
         return
     LOG(f"bench: 2^{logn} uniform uint32 keys on {jax.devices()[0]}")
