@@ -108,6 +108,20 @@ def sort(
         assert rids.shape[0] == n
     timer = PhaseTimer(enabled=timing)
     engine = _select_engine(config)
+    if engine == "v4" and config.engine == "auto":
+        # size-aware tier: v4's out-of-place working set is ~4.3 x the
+        # plane bytes (input + two packed arenas + output); when that
+        # exceeds ~75% of HBM, the in-place v5 (~2.3 x incl. the caller
+        # input; msb_64.c:497-699) is the engine that still fits
+        nplanes = (2 if keys.dtype.itemsize == 8 else 1) + (
+            0 if rids is None else (2 if rids.dtype.itemsize == 8 else 1)
+        )
+        try:
+            hbm = jax.devices()[0].memory_stats()["bytes_limit"]
+        except Exception:
+            hbm = 16 << 30
+        if 4.3 * nplanes * 4 * int(n) > 0.75 * hbm:
+            engine = "v5"
 
     if engine in ("v4", "v5", "lsb"):
         # flagship engine (v4: exact-histogram MSD), the in-place v5

@@ -577,17 +577,26 @@ def sort_v5_from_chunks(
     n: int,
     cfg: Optional[SortConfig] = None,
     timer: Optional[PhaseTimer] = None,
+    raw: bool = False,
 ):
     """Resident in-place sort of n elements delivered as ``nchunks``
     plane-tuples by ``chunk_fn(i)`` — W is assembled chunk by chunk
     (peak = W + one chunk), so inputs larger than half of HBM can be
     sorted resident (2^31 u32 on one 16 GB chip).  Every chunk except
-    the last must be a multiple of 128 elements."""
+    the last must be a multiple of 128 elements.
+
+    ``raw=True`` returns the sorted planes as the FULL row-padded W
+    buffers (length out_rows*128 >= n; elements [n:] are slack junk) via
+    a donated reshape+bitcast — zero extra HBM.  The default (n,)-exact
+    extraction costs one more N-sized buffer (XLA cannot alias a sliced
+    output), which is the difference between fitting and OOM for 2-plane
+    2^30 / 1-plane 2^31 inputs on a 16 GB chip: validate/consume raw
+    results with fused masked reductions or stream them out."""
     cfg = cfg or SortConfig()
     timer = timer or PhaseTimer(enabled=False)
     with jax.enable_x64(False):
         return _sort_v5_core(chunk_fn, nchunks, cfg, timer, 1.0, 0, n,
-                             len(chunk_fn(0)))
+                             len(chunk_fn(0)), raw=raw)
 
 
 def _sort_v5_body(keys, vals, cfg, timer, nb_mult, depth, n):
@@ -597,7 +606,7 @@ def _sort_v5_body(keys, vals, cfg, timer, nb_mult, depth, n):
 
 
 def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
-                  nplanes):
+                  nplanes, raw=False):
     interp = cfg.interpret
     g = _v5_geometry(n, nplanes, cfg, nb_mult)
 
@@ -684,9 +693,22 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
                 w, h2, tbl, g=g, bg=bg, nlex=nplanes - 1,
                 interpret=interp, nclasses=cfg.term_classes,
             )
-        final = _step_extract(w, n=n)
+        if raw:
+            final = _step_extract_raw(w)
+        else:
+            final = _step_extract(w, n=n)
         timer.sync(final[0])
         if n:
             jax.device_get(final[0][-1:])
 
     return final[0], tuple(final[1:])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _step_extract_raw(w):
+    """Full-length extraction: pure reshape+bitcast, donation-aliased
+    into W's buffers (no slice -> no copy; see sort_v5_from_chunks)."""
+    return tuple(
+        jax.lax.bitcast_convert_type(p.reshape(-1), jnp.uint32)
+        for p in w
+    )
