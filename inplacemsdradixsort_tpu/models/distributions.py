@@ -64,8 +64,25 @@ def zipf(
     so that frequent keys are not clustered at the bottom of the key domain —
     this is what makes Zipfian inputs stress splitter selection the way the
     reference's skew handling expects (msb_64.c:1304-1322, 1545-1564).
+
+    Draws are chunked at 2^26: a single jnp.searchsorted over the CDF
+    with 2^28 queries crashes the TPU worker outright on this backend
+    (bisected in benchmarks/zipf28_bisect.py — the crash blamed on the
+    sort engine in BENCH r4 was the generator).
     """
     cdf = jnp.asarray(zipf_table(num_items, theta))
+    CH = 1 << 26
+    if n > CH:
+        parts = []
+        done = 0
+        i = 0
+        while done < n:
+            m = min(CH, n - done)
+            parts.append(zipf(jax.random.fold_in(key, i), m, theta,
+                              num_items, dtype, shuffle_values))
+            done += m
+            i += 1
+        return jnp.concatenate(parts)
     u = jax.random.uniform(key, (n,), dtype=jnp.float32)
     ranks = jnp.searchsorted(cdf, u).astype(jnp.uint32)
     if shuffle_values:

@@ -154,8 +154,18 @@ def _bounds_hybrid(stats: np.ndarray, S: int, nb_want: int,
     prefix (the 58-bit trick, :2242).  Shared by the v4 and v5 planners.
 
     Returns (bounds uint32 ascending incl. 0xFFFFFFFF, is_heavy bool,
-    prefix_bits)."""
-    heavy_frac = max(0.3 / nb_want, 0.002)
+    prefix_bits).
+
+    The heavy threshold is CAPACITY-TIED: a bucket targets ~n/nb_want
+    elements (~0.8x the terminal cap), so any value above 0.3/nb_want of
+    the mass (~1/4 of the cap) is isolated + value-filled.  A fixed
+    floor here (r3 used max(..., 0.002)) breaks at scale: a value with
+    true count between the XL capacity (2*cap*128) and floor*n is
+    neither isolated nor fits any bucket -> guaranteed overflow ->
+    retries can never fix it (the floor persists) -> whole-array
+    fallback, or worse (zipf075 @ 2^27/2^28, BENCH r4 bisect).  The
+    only floor kept is sample-noise (>= 12 hits)."""
+    heavy_frac = max(0.3 / nb_want, 12.0 / max(S, 1))
     bounds, est, is_heavy = _quantile_bounds(
         stats[0].view(np.uint32), stats[1], stats[2], S, heavy_frac,
         cap_frac=1.0 / nb_want,
@@ -412,7 +422,9 @@ def _dev_geometry(n: int, nplanes: int, cfg: SortConfig,
     else:
         t2max, arena2_rows = 1, 8
     out_rows = rows_in + 2 * CHUNK_ROWS + 2
-    heavy_frac = max(0.3 / nb_want, 0.002)
+    # capacity-tied heavy threshold + sample-noise floor — see
+    # _bounds_hybrid for why a fixed mass floor cannot be used
+    heavy_frac = max(0.3 / nb_want, 12.0 / max(S, 1))
     return _GeomV4(
         n=n, nplanes=nplanes, rmax=rmax, pitch=pitch,
         sort_rows=sort_rows, cap_rows=cap_rows, ntiles1=ntiles1,
