@@ -58,6 +58,81 @@ def log_roofline(rate: float, n: int, t: float):
         f"{roof / 1e9:.1f} Gkeys/s {SWEEPS}-sweep roofline")
 
 
+def _xla_base_rate():
+    """XLA cannot sort 2^30+ resident either: scale its measured 2^28
+    rate as the (optimistic-for-XLA) baseline."""
+    keys28 = jax.random.bits(jax.random.key(1), (1 << 28,), jnp.uint32)
+    jsort = jax.jit(jnp.sort)
+    tb = time_fn(lambda: _sync(jsort(keys28)))
+    return (1 << 28) / tb
+
+
+def bench_resident(logn: int):
+    """The north-star cell (BASELINE.md config 2): resident in-place v5
+    sort at the largest size class that fits one chip.  2^31 exceeds
+    half of HBM, so W is assembled chunk by chunk
+    (engine_v5.sort_v5_from_chunks) and the result stays in the raw 2D
+    W form (zero-copy; engine_v5._step_extract_raw); validation uses
+    the slab-chunked raw verifier (no N-sized temporaries).
+
+    logn >= 31 runs n = 2^31 - 2^20: the resident ceiling under int32
+    engine positions.  EXACTLY 2^31+ keys belong to the out-of-core
+    path (BENCH_OOC=1 -> bench_chunked) or the multi-host dsort."""
+    from inplacemsdradixsort_tpu.config import SortConfig
+    from inplacemsdradixsort_tpu.ops import engine_v5 as ev5
+    from inplacemsdradixsort_tpu.utils.checking import raw_check_2d
+
+    n = (1 << 31) - (1 << 20) if logn >= 31 else 1 << logn
+    cfg = SortConfig(engine="v5")
+    LOGC = 27
+    CS = n // 16 if logn >= 31 else 1 << LOGC
+    assert CS % 128 == 0 and n % CS == 0, (n, CS)
+    nchunks = n // CS
+    LOG(f"bench: resident {n} (~2^{logn}) uniform u32 via v5 in-place "
+        f"from-chunks on {jax.devices()[0]}")
+
+    @jax.jit
+    def gen(i):
+        k = jax.random.bits(
+            jax.random.fold_in(jax.random.key(0), i), (CS,),
+            dtype=jnp.uint32)
+        return k, jnp.sum(k, dtype=jnp.uint32)
+
+    in_sum = 0
+    for i in range(nchunks):
+        in_sum = (in_sum + int(jax.device_get(gen(i)[1]))) % (1 << 32)
+
+    def run():
+        t0 = time.perf_counter()
+        ok, _ = ev5.sort_v5_from_chunks(
+            lambda i: (gen(i)[0],), nchunks, n, cfg, raw=True)
+        np.asarray(jax.device_get(ok[-1:, -8:]))
+        return time.perf_counter() - t0, ok
+
+    t, ok = run()
+    s, srt, _ = raw_check_2d(ok, n)
+    sorted_ok = bool(jax.device_get(srt))
+    chk = (int(jax.device_get(s)) % (1 << 32)) == in_sum
+    LOG(f"first run {t*1e3:.0f} ms sorted={sorted_ok} checksum={chk}")
+    times = [t]
+    for _ in range(2):
+        ok = None
+        t2, ok = run()
+        times.append(t2)
+    best = min(times)
+    rate = n / best if (sorted_ok and chk) else 0.0
+    LOG(f"resident v5: best {best*1e3:.0f} ms "
+        f"({rate/1e9:.3f} Gkeys/s)")
+    log_roofline(rate, n, best)
+    base_rate = _xla_base_rate()
+    print(json.dumps({
+        "metric": f"keys/sec, 2^{logn} uniform u32, 1 chip "
+                  f"(resident in-place v5)",
+        "value": round(rate, 1), "unit": "keys/s",
+        "vs_baseline": round(rate / base_rate, 4),
+    }))
+
+
 def bench_chunked(logn: int):
     """2^31+ keys exceed resident HBM (input + arenas + output): run the
     out-of-core two-read path (ops/chunked.sort_external) over generated
@@ -110,12 +185,7 @@ def bench_chunked(logn: int):
     LOG(f"chunked: sorted={ok_all} checksum={chk} "
         f"({t:.1f} s, {n/t/1e9:.3f} Gkeys/s)")
     log_roofline(n / t, n, t)
-    # XLA cannot sort 2^31 resident either: scale its measured 2^28 rate
-    # as the (optimistic-for-XLA) baseline
-    keys28 = jax.random.bits(jax.random.key(1), (1 << 28,), jnp.uint32)
-    jsort = jax.jit(jnp.sort)
-    tb = time_fn(lambda: _sync(jsort(keys28)))
-    base_rate = (1 << 28) / tb
+    base_rate = _xla_base_rate()
     rate = n / t if (ok_all and chk) else 0.0
     print(json.dumps({
         "metric": f"keys/sec, 2^{logn} uniform u32, 1 chip (out-of-core)",
@@ -125,13 +195,17 @@ def bench_chunked(logn: int):
 
 
 def main():
-    logn = int(os.environ.get("BENCH_LOGN", "28"))
+    logn = int(os.environ.get("BENCH_LOGN", "31"))
     n = 1 << logn
-    # 2^30+: out-of-core chunked path by default; BENCH_RESIDENT=1
-    # benches the HBM-resident in-place v5 engine instead (~1.25 x N
-    # peak HBM — the reference's in-place contract, msb_64.c:497-699)
-    if logn >= 30 and os.environ.get("BENCH_RESIDENT", "0") != "1":
-        bench_chunked(logn)
+    # 2^30+ headline: the resident in-place v5 engine at the north-star
+    # size (~1.25 x N peak HBM — the reference's in-place contract,
+    # msb_64.c:497-699).  BENCH_OOC=1 benches the out-of-core two-read
+    # path instead (the 2^32+ size class).
+    if logn >= 30:
+        if os.environ.get("BENCH_OOC", "0") == "1":
+            bench_chunked(logn)
+        else:
+            bench_resident(logn)
         return
     LOG(f"bench: 2^{logn} uniform uint32 keys on {jax.devices()[0]}")
     keys = jax.random.bits(jax.random.key(0), (n,), dtype=jnp.uint32)

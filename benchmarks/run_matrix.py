@@ -115,6 +115,26 @@ def main():
         LOG(f"{row['config']:<24} {n/t/1e9:7.3f} Gk/s  "
             f"xla {n/tb/1e9:7.3f}  x{tb/t:5.2f}  ok={ok}")
 
+        # LSB engine A/B row (the reference suite's lsb_32 variant,
+        # Makefile:8-24): same uniform u32 input through the LSB
+        # ping-pong engine vs the MSD engine's row above
+        if engine != "xla":
+            keys = dist.uniform(jax.random.key(0), n)
+            _sync(keys)
+            cfg_lsb = SortConfig(engine="lsb")
+            out = rs.sort(keys, config=cfg_lsb).keys
+            ok = bool(jnp.all(out[1:] >= out[:-1]))
+
+            def one_lsb():
+                res = rs.sort(keys, config=cfg_lsb)
+                if not res.synced:
+                    _sync(res.keys)
+            t = timeit(one_lsb)
+            row = dict(config=f"2^{logn} uniform u32 (lsb A/B)",
+                       keys_per_s=n / t, correct=ok)
+            results.append(row)
+            LOG(f"{row['config']:<24} {n/t/1e9:7.3f} Gk/s  ok={ok}")
+
     outpath = os.path.join(os.path.dirname(__file__), "results.json")
     with open(outpath, "w") as f:
         json.dump(results, f, indent=1)

@@ -62,8 +62,11 @@ def main():
         return k, jnp.sum(k, dtype=jnp.uint32)
 
     # raw mode (2-plane 2^30+ / 1-plane 2^31+): results come back as the
-    # full row-padded W buffers (zero-copy donation); validate the first
-    # n elements with fused masked reductions — no N-sized temporaries
+    # full row-padded W buffers in 2D (w_rows, 128) int32 raw-bit form
+    # (the zero-copy identity — any dtype/shape change costs a second W,
+    # engine_v5.sort_v5_from_chunks docstring); validate the row-major
+    # prefix of n elements slab by slab — no N-sized temporaries
+    from inplacemsdradixsort_tpu.utils.checking import raw_check_2d
     use_raw = logn >= 30 and (pairs or logn >= 31)
 
     chk = jax.jit(lambda k: jnp.sum(k[:n], dtype=jnp.uint32))
@@ -103,10 +106,16 @@ def main():
         del k
 
     t, ok, vo = run()
-    is_sorted = bool(jax.device_get(sorted_dev(ok)))
-    out_sum = int(jax.device_get(chk(ok))) % 2**32
-    pay_ok = (bool(jax.device_get(eq_dev(ok, vo[0])))
-              if pairs else True)
+    if use_raw:
+        s, srt, pay = raw_check_2d(ok, n, vo[0] if pairs else None)
+        is_sorted = bool(jax.device_get(srt))
+        out_sum = int(jax.device_get(s)) % 2**32
+        pay_ok = bool(jax.device_get(pay)) if pairs else True
+    else:
+        is_sorted = bool(jax.device_get(sorted_dev(ok)))
+        out_sum = int(jax.device_get(chk(ok))) % 2**32
+        pay_ok = (bool(jax.device_get(eq_dev(ok, vo[0])))
+                  if pairs else True)
     LOG(f"sorted={is_sorted} checksum={in_sum == out_sum} "
         f"payload={pay_ok} first-run {t*1e3:.0f} ms")
 

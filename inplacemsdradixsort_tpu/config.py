@@ -93,6 +93,14 @@ class SortConfig:
     # segment-packed lax.ragged_all_to_all exchange (exact wire bytes
     # under skew); False = dense exact-cap all_to_all + compaction
     ragged_exchange: bool = True
+    # fuse the ragged exchange with the local sort into ONE program:
+    # each landed ppermute round's exact L1 histogram contribution is
+    # accumulated while the next round's collective is in flight, and
+    # the local pipeline runs with that hist injected — no post-
+    # exchange sampling and no separate L1 sweep (SURVEY §2.6 item 4 /
+    # §5.8 exchange/compute overlap).  Local bounds come from each
+    # shard's window of the replicated global sample.
+    overlap_exchange: bool = False
 
     def __post_init__(self):
         assert self.tile_elems % self.lanes == 0

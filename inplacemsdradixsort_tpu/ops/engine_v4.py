@@ -51,7 +51,8 @@ U32_MAX = np.uint32(0xFFFFFFFF)
 # ---- engine-path observability (the probe contract for the adaptive
 # scheduler: no adversarial input class at production sizes may reach
 # the whole-array XLA fallback; tests/probes assert on these counters)
-FALLBACK_STATS = {"small_n": 0, "plan": 0, "overflow": 0, "retry": 0}
+FALLBACK_STATS = {"small_n": 0, "plan": 0, "overflow": 0, "retry": 0,
+                  "deep": 0}
 
 
 def reset_fallback_stats() -> None:
@@ -60,6 +61,23 @@ def reset_fallback_stats() -> None:
 
 
 # ============================================================== sample
+
+def _stats_of_sorted(s: jax.Array, nbq: int):
+    """Equal-depth quantile picks with left/right ranks from a sorted
+    uint32 sample ``s`` (a few KB fetched, not the sample)."""
+    S = s.shape[0]
+    pos = np.clip(
+        (np.arange(1, nbq + 1, dtype=np.int64) * S) // nbq - 1, 0, S - 1
+    ).astype(np.int32)
+    picks = jnp.take(s, jnp.asarray(pos))
+    picks = picks.at[-1].set(jnp.uint32(0xFFFFFFFF))
+    left = jnp.searchsorted(s, picks, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(s, picks, side="right").astype(jnp.int32)
+    picks_i = jax.lax.bitcast_convert_type(
+        picks.astype(jnp.uint32), jnp.int32
+    )
+    return jnp.stack([picks_i, left, right])
+
 
 @functools.partial(jax.jit, static_argnames=("ssz", "nbq", "salt"))
 def _sample_stats(keys: jax.Array, *, ssz: int, nbq: int, salt: int):
@@ -85,18 +103,7 @@ def _sample_stats(keys: jax.Array, *, ssz: int, nbq: int, salt: int):
         s = jnp.sort(
             jnp.take_along_axis(picked, lane[:, None], axis=1).reshape(-1)
         )
-    S = s.shape[0]
-    pos = np.clip(
-        (np.arange(1, nbq + 1, dtype=np.int64) * S) // nbq - 1, 0, S - 1
-    ).astype(np.int32)
-    picks = jnp.take(s, jnp.asarray(pos))
-    picks = picks.at[-1].set(jnp.uint32(0xFFFFFFFF))
-    left = jnp.searchsorted(s, picks, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(s, picks, side="right").astype(jnp.int32)
-    picks_i = jax.lax.bitcast_convert_type(
-        picks.astype(jnp.uint32), jnp.int32
-    )
-    return jnp.stack([picks_i, left, right])
+    return _stats_of_sorted(s, nbq)
 
 
 # ============================================================== plan
@@ -457,14 +464,37 @@ def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
     with radix-equidistant delimiters (:1545-1564), coalesced on a
     cap_frac rank grid (undershooting, so buckets fit the terminal
     capacity), grouped in fixed stride for the two partition levels."""
+    stats = _sample_stats(keys, ssz=g.ssz, nbq=g.nbq, salt=salt)
+    return _tables_from_stats(stats, g)
+
+
+def _tables_from_stats(stats, g: _GeomV4, S_dyn=None) -> dict:
+    """Bound/terminal tables from quantile stats (see _plan_tables_dev).
+
+    ``S_dyn``: traced effective sample size when the stats come from a
+    dynamically-sized window of a shared sample (the dsort overlapped
+    path slices the replicated global sample per shard) — the static
+    ``g.S``-derived thresholds switch to their traced equivalents."""
     rmax, nbq = g.rmax, g.nbq
     keys_only = g.nplanes == 1
-    stats = _sample_stats(keys, ssz=g.ssz, nbq=nbq, salt=salt)
+    if S_dyn is None:
+        heavy_cnt = jnp.int32(g.heavy_cnt)
+        cap_S = jnp.int32(g.cap_S)
+        fill_S = jnp.int32(g.S)
+    else:
+        S_dyn = S_dyn.astype(jnp.int32)
+        # heavy_cnt = max(ceil(0.3/nb_want * S), 12, 1) with the 0.3
+        # as exact 3/10 integer arithmetic
+        heavy_cnt = jnp.maximum(
+            (3 * S_dyn + 10 * g.nb_want - 1) // (10 * g.nb_want), 12)
+        heavy_cnt = jnp.maximum(heavy_cnt, 1)
+        cap_S = jnp.maximum(S_dyn // g.nb_want, 1)
+        fill_S = S_dyn
     pv = stats[0] ^ BIAS_I              # biased i32, ascending
     left, right = stats[1], stats[2]
     one_t = jnp.ones((1,), bool)
     first = jnp.concatenate([one_t, pv[1:] != pv[:-1]])
-    hv = first & ((right - left) >= g.heavy_cnt)
+    hv = first & ((right - left) >= heavy_cnt)
 
     # ---- candidates: picks; v-1 isolation bounds before heavy values
     # (msb_64.c:1313-1320); radix-equidistant bounds (:1559-1563)
@@ -515,7 +545,7 @@ def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
     def _scat(x, fill):
         return jnp.full((NBD + 1,), fill, x.dtype).at[tgt].set(x)[:NBD]
     dv = _scat(v, SENT_I)
-    dr = _scat(r, jnp.int32(g.S))
+    dr = _scat(r, fill_S)
     da = _scat(a, jnp.int32(0))
     dh = _scat(h, jnp.int32(0))
     m = jnp.sum(vu.astype(jnp.int32))
@@ -524,7 +554,7 @@ def _plan_tables_dev(keys: jax.Array, g: _GeomV4, salt: int) -> dict:
     # each grid cell (undershoot — bucket mass <= cap + one pick gap),
     # plus heavy bounds, their isolation bounds, and the final bound
     idx = jnp.arange(NBD, dtype=jnp.int32)
-    kb = dr // jnp.int32(g.cap_S)
+    kb = dr // cap_S
     kb_next = jnp.concatenate([kb[1:], jnp.full((1,), 1 << 30, jnp.int32)])
     keep = (idx < m) & (
         (da != 0) | (dh != 0) | (idx == m - 1) | (kb_next > kb)
@@ -669,10 +699,14 @@ def _pipeline_core(
     )
 
     # ---------------- level 1
-    hist1 = hist_level(
-        planes2d[0], l1_meta, l1_bounds, ntiles1, pitch, rmax,
-        bias_input=True, interpret=interpret,
-    )
+    hist1 = tb.get("hist1")
+    if hist1 is None:
+        hist1 = hist_level(
+            planes2d[0], l1_meta, l1_bounds, ntiles1, pitch, rmax,
+            bias_input=True, interpret=interpret,
+        )
+    # an injected hist1 (the dsort overlapped path accumulates it per
+    # exchange round) replaces the L1 sweep entirely
     real1 = jnp.sum(hist1, axis=0)              # pre-drop true counts
     pads1, rows_c1, start1, dst1 = _level_tables(
         hist1, 1 - drop1, CHUNK_ROWS
@@ -974,6 +1008,7 @@ def sort_v4(
     timer: Optional[PhaseTimer] = None,
     _nb_mult: float = 1.0,
     _depth: int = 0,
+    _deep_depth: int = 0,
 ):
     """Sort uint32 keys (with 0..2 uint32 payload planes) on one chip.
 
@@ -989,15 +1024,30 @@ def sort_v4(
         FALLBACK_STATS["small_n"] += 1
         return _xla_fallback(keys, vals)
     with jax.enable_x64(False):
-        return _sort_v4_body(keys, vals, cfg, timer, _nb_mult, _depth, n)
+        return _sort_v4_body(keys, vals, cfg, timer, _nb_mult, _depth, n,
+                             _deep_depth)
 
 
-def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
+def _exhausted(keys, vals, cfg, timer, deep_depth):
+    """The retry ladder is out of plane-0 refinements.  Multi-plane
+    inputs recurse into the lower planes (the ``schedule_passes`` tier
+    over the remaining key bits, msb_64.c:1334-1400); keys-only inputs
+    — where heavy values are already value-filled, so this means the
+    sample missed pathologically — fall back to XLA."""
+    if len(vals):
+        from .deep import deep_sort
+        return deep_sort(keys, vals, cfg, timer, deep_depth)
+    FALLBACK_STATS["overflow"] += 1
+    return _xla_fallback(keys, vals)
+
+
+def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n,
+                  deep_depth=0):
     nplanes = 1 + len(vals)
     interp = cfg.interpret
     if cfg.device_plan:
         return _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult,
-                                 depth, n)
+                                 depth, n, deep_depth)
 
     with timer.phase("sample"):
         ssz = int(min(max(cfg.sample_rate * n, 4096), cfg.sample_cap))
@@ -1038,13 +1088,13 @@ def _sort_v4_body(keys, vals, cfg, timer, nb_mult, depth, n):
         if depth < 2:
             FALLBACK_STATS["retry"] += 1
             return _sort_v4_body(keys, vals, cfg, timer, nb_mult * 2.0,
-                                 depth + 1, n)
-        FALLBACK_STATS["overflow"] += 1
-        return _xla_fallback(keys, vals)
+                                 depth + 1, n, deep_depth)
+        return _exhausted(keys, vals, cfg, timer, deep_depth)
     return final[0], tuple(final[1:])
 
 
-def _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult, depth, n):
+def _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult, depth, n,
+                      deep_depth=0):
     """Device-planned driver: one fused dispatch, one result-side fetch
     (the overflow flag doubles as the completion sync)."""
     nplanes = 1 + len(vals)
@@ -1073,9 +1123,9 @@ def _sort_v4_body_dev(keys, vals, cfg, timer, nb_mult, depth, n):
         if depth < 2:
             FALLBACK_STATS["retry"] += 1
             return _sort_v4_body_dev(keys, vals, cfg, timer,
-                                     nb_mult * 2.0, depth + 1, n)
-        FALLBACK_STATS["overflow"] += 1
-        return _xla_fallback(keys, vals)
+                                     nb_mult * 2.0, depth + 1, n,
+                                     deep_depth)
+        return _exhausted(keys, vals, cfg, timer, deep_depth)
     return final[0], tuple(final[1:])
 
 

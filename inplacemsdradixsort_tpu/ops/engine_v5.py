@@ -56,7 +56,8 @@ from ..config import SortConfig
 from ..utils.timing import PhaseTimer
 from .engine_v3 import _bias_np, _ceil_div, _shape_class
 from . import engine_v4
-from .engine_v4 import _bounds_hybrid, _finish, _sample_stats, _xla_fallback
+from .engine_v4 import (_bounds_hybrid, _finish, _stats_of_sorted,
+                        _xla_fallback)
 from .kernels_v4 import CHUNK_ROWS, LANES, hist_level, route_level
 from .kernels_v5 import (BLK, BLKROWS, NSTAGE, RING, SCHED_CHUNK,
                          block_permute, seqroute_level)
@@ -146,11 +147,23 @@ class _GeomV5:
 
 def _v5_geometry(n: int, nplanes: int, cfg: SortConfig,
                  nb_mult: float = 1.0) -> _GeomV5:
-    cap_rows = cfg.v3_cap_rows or (2048 if n >= (1 << 28) else 1024)
+    cap_rows = cfg.v3_cap_rows
+    if not cap_rows:
+        cap_rows = 2048 if n >= (1 << 28) else 1024
+        # beyond a 128-wide topology (never at u32-addressable sizes):
+        # double the terminal class rather than overflow the plan
+        while (cap_rows < 8192
+               and _ceil_div(n, int(cap_rows * LANES * 0.80))
+               * nb_mult * 1.4 > 128 * 128):
+            cap_rows *= 2
     target = int(cap_rows * LANES * 0.80)
     nb_want = max(16, int(_ceil_div(n, target) * nb_mult))
+    # rmax 128 exists for ~2^31: 96^2 buckets top out at ~1.9e9 keys with
+    # the 2048-row terminal class (seen: 13263 buckets at 2^31 - 2^20);
+    # growing the topology keeps the terminal networks at their tuned
+    # size where growing cap_rows would compile a 2^20-element network
     rmax = cfg.v3_rmax or next(
-        (r for r in (32, 48, 64, 96) if r * r >= nb_want * 1.4), 96
+        (r for r in (32, 48, 64, 96, 128) if r * r >= nb_want * 1.4), 128
     )
     sort_rows2 = cfg.v3_sort_rows
     pitch2 = sort_rows2 - rmax
@@ -415,9 +428,33 @@ def _step_wput(w, planes, row0):
 
 @functools.partial(jax.jit, static_argnames=("g", "salt"))
 def _step_stats(w, *, g: _GeomV5, salt: int):
-    keys = jax.lax.bitcast_convert_type(
-        w[0], jnp.uint32).reshape(-1)[: g.n]
-    return _sample_stats(keys, ssz=g.ssz, nbq=g.nbq, salt=salt)
+    """Sample stats straight off the 2D working buffer.
+
+    Gathers sample ROWS from the int32 W planes and bitcasts only the
+    picked (neff, 128) block: bitcasting/reshaping all of W first
+    materializes an N-sized HLO temp beside the W argument, which is
+    exactly the OOM the >half-HBM chunked path exists to avoid (seen at
+    2^31: 8 GiB arg + 8 GiB temp on a 16 GiB chip).  Semantics match
+    engine_v4._sample_stats bit for bit (same PRNG stream, same lane
+    de-correlation), so plans and fixtures are unchanged."""
+    n, ssz = g.n, g.ssz
+    rows = max(n // LANES, 1)
+    neff = max(1, min(ssz, rows))
+    if rows <= 1 or neff >= rows:
+        m = min(n, ssz)
+        mrows = _ceil_div(max(m, 1), LANES)
+        s = jnp.sort(jax.lax.bitcast_convert_type(
+            w[0][:mrows], jnp.uint32).reshape(-1)[:m])
+        return _stats_of_sorted(s, g.nbq)
+    key = jax.random.key(
+        (n & 0xFFFFFF) ^ (salt * 2654435761 & 0x7FFFFFFF))
+    idx = jax.random.randint(key, (neff,), 0, rows, dtype=jnp.int32)
+    picked = jnp.take(w[0], idx, axis=0)          # in-place gather of W
+    lane = (idx * 89 + jnp.arange(neff, dtype=jnp.int32) * 37) % LANES
+    s = jnp.sort(jax.lax.bitcast_convert_type(
+        jnp.take_along_axis(picked, lane[:, None], axis=1).reshape(-1),
+        jnp.uint32))
+    return _stats_of_sorted(s, g.nbq)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "interpret"))
@@ -586,12 +623,15 @@ def sort_v5_from_chunks(
     the last must be a multiple of 128 elements.
 
     ``raw=True`` returns the sorted planes as the FULL row-padded W
-    buffers (length out_rows*128 >= n; elements [n:] are slack junk) via
-    a donated reshape+bitcast — zero extra HBM.  The default (n,)-exact
-    extraction costs one more N-sized buffer (XLA cannot alias a sliced
-    output), which is the difference between fitting and OOM for 2-plane
-    2^30 / 1-plane 2^31 inputs on a 16 GB chip: validate/consume raw
-    results with fused masked reductions or stream them out."""
+    buffers in their native 2D (w_rows, 128) **int32** form: raw uint32
+    bit patterns, row-major prefix of n real elements, slack junk past
+    n.  This is the identity on the engine buffers — truly zero extra
+    HBM.  Neither a u32 bitcast (donation matches dtype) nor a 1D
+    reshape (layout retiling) can alias, and either costs a second W —
+    the OOM the chunked path exists to avoid at 2^31 on a 16 GB chip.
+    Validate/consume raw results slab-by-slab
+    (``utils.checking.raw_check_2d``) or stream them out row-wise.
+    The default (n,)-exact extraction costs one more N-sized buffer."""
     cfg = cfg or SortConfig()
     timer = timer or PhaseTimer(enabled=False)
     with jax.enable_x64(False):
@@ -685,8 +725,11 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
                 engine_v4.FALLBACK_STATS["retry"] += 1
                 return _sort_v5_body(planes2[0], planes2[1:], cfg,
                                      timer, nb_mult * 2.0, depth + 1, n)
-            engine_v4.FALLBACK_STATS["overflow"] += 1
-            return _xla_fallback(planes2[0], planes2[1:])
+            # plane-0 refinement exhausted: multi-plane inputs recurse
+            # into the lower planes (deep.deep_sort), keys-only fall
+            # back to XLA (engine_v4._exhausted)
+            return engine_v4._exhausted(planes2[0], planes2[1:], cfg,
+                                        timer, 0)
 
         for h2, tbl in zip(hist2s, tbls):
             w = _step_batch(
@@ -694,7 +737,14 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
                 interpret=interp, nclasses=cfg.term_classes,
             )
         if raw:
-            final = _step_extract_raw(w)
+            # raw extraction is the IDENTITY: the (w_rows, 128) int32
+            # planes are the result (raw uint32 bit patterns; row-major
+            # prefix of n elements).  Any dtype/shape change here costs
+            # a second W: XLA donation matches on (shape, dtype), so an
+            # i32 -> u32 bitcast cannot alias (seen OOM at 2^31), and a
+            # 1D reshape retiles (8,128) -> (1024) layouts.  Consumers
+            # bitcast slab-by-slab (utils.checking.raw_check_2d).
+            final = w
         else:
             final = _step_extract(w, n=n)
         timer.sync(final[0])
@@ -704,11 +754,3 @@ def _sort_v5_core(chunk_fn, nchunks, cfg, timer, nb_mult, depth, n,
     return final[0], tuple(final[1:])
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _step_extract_raw(w):
-    """Full-length extraction: pure reshape+bitcast, donation-aliased
-    into W's buffers (no slice -> no copy; see sort_v5_from_chunks)."""
-    return tuple(
-        jax.lax.bitcast_convert_type(p.reshape(-1), jnp.uint32)
-        for p in w
-    )

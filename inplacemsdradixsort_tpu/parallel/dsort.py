@@ -85,7 +85,9 @@ def _data_spec(mesh: Mesh):
 def _sample_bounds(keys, mesh, num_shards: int, sample_per_shard: int,
                    seed):
     """P1-P3: per-shard sample -> all_gather -> replicated sort ->
-    equal-depth, duplicate-aware shard boundary splitters."""
+    equal-depth, duplicate-aware shard boundary splitters.  Also
+    returns the sorted global sample itself: the overlapped path plans
+    each shard's LOCAL bounds from its window of it (_window_stats)."""
     axis = _axes(mesh)
     me = _my_shard(mesh)
     k = jax.random.fold_in(jax.random.key(seed), me)
@@ -95,7 +97,7 @@ def _sample_bounds(keys, mesh, num_shards: int, sample_per_shard: int,
     local = jnp.take(keys, idx)
     sample = lax.all_gather(local, axis).reshape(-1)
     sample = jnp.sort(sample)
-    return sp.extract_delimiters(sample, num_shards - 1)
+    return sp.extract_delimiters(sample, num_shards - 1), sample
 
 
 def _count_matrix(keys, bounds, mesh):
@@ -228,6 +230,207 @@ def _exchange(keys, rids, bounds, send_cap: int, recv_cap: int, mesh,
     return rk, rr, total_recv
 
 
+def _window_stats(sample, bounds, me, nbq):
+    """Quantile stats for MY shard's window of the replicated sorted
+    global sample — the overlapped path's replacement for re-sampling
+    the received keys: shard d's post-exchange keys lie in
+    (bounds[d-1], bounds[d]], and the global sample restricted to that
+    range IS a sample of them.  Output matches the
+    engine_v4._sample_stats contract: rows (picks_i32, left, right),
+    plus the traced window size for the planner's thresholds."""
+    total = sample.shape[0]
+    num_shards = bounds.shape[0] + 1
+    lo = jnp.where(
+        me == 0, 0,
+        jnp.searchsorted(
+            sample, jnp.take(bounds, jnp.maximum(me - 1, 0)),
+            side="right").astype(jnp.int32))
+    hi = jnp.where(
+        me == num_shards - 1, total,
+        jnp.searchsorted(
+            sample, jnp.take(bounds, jnp.minimum(me, num_shards - 2)),
+            side="right").astype(jnp.int32))
+    W = jnp.maximum(hi - lo, 0)
+    pad = jnp.full((total,), SENT32, sample.dtype)
+    win = lax.dynamic_slice(
+        jnp.concatenate([sample, pad]), (lo,), (total,))
+    win = jnp.where(jnp.arange(total) < W, win, SENT32)
+    # pos = (i+1)*W // nbq - 1 without int32 overflow (i*W can pass
+    # 2^31 at full sample size): split W into quotient/remainder by nbq
+    i1 = jnp.arange(1, nbq + 1, dtype=jnp.int32)
+    pos = jnp.clip(
+        i1 * (W // nbq) + (i1 * (W % nbq)) // nbq - 1,
+        0, jnp.maximum(W - 1, 0)).astype(jnp.int32)
+    picks = jnp.take(win, pos)
+    picks = picks.at[-1].set(jnp.uint32(0xFFFFFFFF))
+    left = jnp.minimum(
+        jnp.searchsorted(win, picks, side="left").astype(jnp.int32), W)
+    right = jnp.minimum(
+        jnp.searchsorted(win, picks, side="right").astype(jnp.int32), W)
+    picks_i = jax.lax.bitcast_convert_type(picks, jnp.int32)
+    return jnp.stack([picks_i, left, right]), W
+
+
+def _exchange_overlap(keys, rids, bounds, sample, recv_cap, mesh,
+                      ragged_caps, g, cfg):
+    """Ragged exchange with the local L1 histogram accumulated PER
+    ROUND: as each ppermute segment lands, its exact (tile, range)
+    contribution is added while the next round's collective is in
+    flight (SURVEY §2.6 item 4 / §5.8 — exchange overlapped with local
+    partition work; the reference interleaves its block exchange with
+    local passes via work stealing, msb_64.c:1672-2158).  The bound
+    tables come from the pre-exchange global sample (_window_stats), so
+    NOTHING about the local plan waits for the exchange; the L1 sweep
+    of the local sort is fully absorbed here.
+
+    Returns (recv_keys, recv_rids|None, tb, hist1, total_recv)."""
+    from ..ops import engine_v4 as e4
+
+    axis = _axes(mesh)
+    S = bounds.shape[0] + 1
+    me = _my_shard(mesh)
+    n_local = keys.shape[0]
+    pairs = rids is not None
+
+    stats, W = _window_stats(sample, bounds, me, g.nbq)
+    tb = e4._tables_from_stats(stats, g, S_dyn=W)
+
+    dest = jnp.searchsorted(bounds, keys, side="left").astype(jnp.int32)
+    if pairs:
+        _, sorted_keys, sorted_rids = lax.sort(
+            (dest, keys, rids), num_keys=1, is_stable=True)
+    else:
+        _, sorted_keys = lax.sort((dest, keys), num_keys=1,
+                                  is_stable=True)
+        sorted_rids = None
+    send_counts = jnp.sum(
+        dest[:, None] == jnp.arange(S)[None, :], axis=0,
+        dtype=jnp.int32)
+    send_starts = jnp.cumsum(send_counts) - send_counts
+    all_counts = lax.all_gather(send_counts, axis)
+    recv_counts = all_counts[:, me]
+    recv_starts = jnp.cumsum(recv_counts) - recv_counts
+    total_recv = jnp.sum(recv_counts)
+
+    cap_max = max(max(ragged_caps), 1)
+    TE = g.pitch * LANES
+    rmax = g.rmax
+    l1b = tb["l1_bounds"]                     # biased i32 ascending
+    BIAS_I = e4.BIAS_I
+
+    def pad_src(x):
+        return jnp.concatenate(
+            [x, jnp.full((cap_max,), SENT32, x.dtype)])
+
+    src_k = pad_src(sorted_keys)
+    src_r = pad_src(sorted_rids) if pairs else None
+    out_k = jnp.full((recv_cap + cap_max,), SENT32, keys.dtype)
+    out_r = (jnp.full((recv_cap + cap_max,), SENT32, rids.dtype)
+             if pairs else None)
+    hist = jnp.zeros((g.ntiles1 * rmax,), jnp.int32)
+
+    for r in range(S):
+        cap_r = int(ragged_caps[r])
+        if cap_r == 0:
+            continue
+        dst = lax.rem(me + r, S)
+        src_sh = lax.rem(me - r + S, S)
+        st = jnp.take(send_starts, dst)
+        seg_k = lax.dynamic_slice(src_k, (st,), (cap_r,))
+        seg_r = (lax.dynamic_slice(src_r, (st,), (cap_r,))
+                 if pairs else None)
+        if r:
+            perm = [(i, (i + r) % S) for i in range(S)]
+            seg_k = lax.ppermute(seg_k, axis, perm)
+            if pairs:
+                seg_r = lax.ppermute(seg_r, axis, perm)
+        cnt_f = jnp.take(recv_counts, src_sh)
+        rs = jnp.take(recv_starts, src_sh)
+        j = jnp.arange(cap_r)
+        live = j < cnt_f
+        cur = lax.dynamic_slice(out_k, (rs,), (cap_r,))
+        out_k = lax.dynamic_update_slice(
+            out_k, jnp.where(live, seg_k, cur), (rs,))
+        if pairs:
+            cur_r = lax.dynamic_slice(out_r, (rs,), (cap_r,))
+            out_r = lax.dynamic_update_slice(
+                out_r, jnp.where(live, seg_r, cur_r), (rs,))
+        # exact (tile, range) contribution of this landed segment —
+        # overlaps the next round's ppermute
+        kb = jax.lax.bitcast_convert_type(seg_k, jnp.int32) ^ BIAS_I
+        rid_of = jnp.sum(
+            (kb[:, None] > l1b[None, :]).astype(jnp.int32), axis=1)
+        rid_of = jnp.minimum(rid_of, rmax - 1)
+        tile = (rs + j) // TE
+        hist = hist.at[tile * rmax + rid_of].add(
+            live.astype(jnp.int32))
+
+    # the SENT slack past total_recv stays OUT of the local sort: the
+    # pipeline gets a DYNAMIC tile meta covering exactly total_recv
+    # elements (pads would otherwise overflow a terminal bucket — the
+    # global sample never sees them), so hist needs no pad correction
+    return (out_k[:recv_cap], out_r[:recv_cap] if pairs else None,
+            tb, hist.reshape(g.ntiles1, rmax), total_recv)
+
+
+def _build_overlap_step(mesh: Mesh, cfg: SortConfig, pairs: bool,
+                        recv_cap: int, ragged_caps, depth: int):
+    """ONE fused SPMD program: ragged exchange + per-round L1 hist +
+    the full v4 local pipeline with the hist injected — 1 dispatch
+    where the baseline path uses 2 (exchange, local), and the local
+    sort runs no sample pass and no L1 sweep at all."""
+    from ..ops import engine_v4 as e4
+
+    nplanes = 2 if pairs else 1
+    data_spec = _data_spec(mesh)
+    rid_spec = data_spec if pairs else P()
+    cfg_d = dataclasses.replace(
+        cfg, v3_rmax=cfg.v3_rmax or (8 if cfg.interpret else 32))
+    g = e4._dev_geometry(recv_cap, nplanes, cfg_d, 2.0 ** depth)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(data_spec, rid_spec, P(None), P(None)),
+        out_specs=(data_spec, rid_spec if pairs else P(None), P(None),
+                   data_spec),
+        check_vma=False,
+    )
+    def step(keys, rids, bounds, sample):
+        rk, rr, tb, hist1, total = _exchange_overlap(
+            keys, rids if pairs else None, bounds, sample, recv_cap,
+            mesh, ragged_caps, g, cfg)
+        # DYNAMIC tile meta: tiles cover exactly the total_recv real
+        # elements, so the receive buffer's SENT slack never enters the
+        # sort (it would overflow a terminal bucket: the global sample
+        # cannot plan for it)
+        TE = g.pitch * LANES
+        tidx = jnp.arange(g.ntiles1, dtype=jnp.int32)
+        nel = jnp.clip(total - tidx * TE, 0, TE)
+        meta = jnp.concatenate([
+            jnp.stack([jnp.zeros_like(tidx), tidx * g.pitch, nel],
+                      axis=1).reshape(-1),
+            jnp.zeros((3,), jnp.int32),
+        ])
+        tb["l1_meta"] = meta
+        tb["hist1"] = hist1
+        planes = (rk,) + ((rr,) if pairs else ())
+        final, over, _ = e4._pipeline_core(
+            planes, tb, n=g.n, nplanes=g.nplanes, nlex=nplanes - 1,
+            rmax=g.rmax, pitch=g.pitch, cap_rows=g.cap_rows,
+            ntiles1=g.ntiles1, t2max=g.t2max,
+            arena1_rows=g.arena1_rows, arena2_rows=g.arena2_rows,
+            out_rows=g.out_rows, two_level=g.two_level,
+            interpret=cfg.interpret, nclasses=cfg.term_classes,
+        )
+        over = lax.pmax(over, _axes(mesh))
+        if not pairs:
+            return (final[0], jnp.zeros((1,), jnp.uint32),
+                    over.reshape(1), total.reshape(1))
+        return final[0], final[1], over.reshape(1), total.reshape(1)
+
+    return jax.jit(step)
+
+
 def _build_steps(mesh: Mesh, cfg: SortConfig, n_local: int, pairs: bool,
                  send_cap: int, recv_cap: int, sample_per_shard: int,
                  seed: int, ragged_caps=None):
@@ -237,7 +440,7 @@ def _build_steps(mesh: Mesh, cfg: SortConfig, n_local: int, pairs: bool,
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(data_spec,),
-        out_specs=P(None), check_vma=False,
+        out_specs=(P(None), P(None)), check_vma=False,
     )
     def plan(keys):
         return _sample_bounds(keys, mesh, S, sample_per_shard, seed)
@@ -389,7 +592,7 @@ def distributed_sort(
         mesh, config, n_local, pairs, 1, 1, sample_per_shard, seed,
     )
     with timer.phase("sample"):
-        bounds = plan(keys)
+        bounds, sample = plan(keys)
         cnt = np.asarray(jax.device_get(counts(keys, bounds)))
         send_cap = _shape_cap(int(cnt.max()))
         recv_cap = _shape_cap(int(cnt.sum(axis=0).max()))
@@ -402,6 +605,33 @@ def distributed_sort(
                     cnt[i, (i + r) % S] for i in range(S)
                 ))) if max(cnt[i, (i + r) % S] for i in range(S)) else 0
                 for r in range(S)
+            )
+
+    # ---- overlapped path: ONE fused program = ragged exchange +
+    # per-round L1 hist + v4 local pipeline (bounds from the global
+    # sample; no post-exchange sampling, no separate L1 sweep).
+    # 3 dispatches total (plan, counts, fused) vs the baseline's 4
+    # (plan, counts, exchange, local[xN retries]).
+    if (config.overlap_exchange and ragged_caps is not None
+            and max(ragged_caps)):
+        with timer.phase("balance"):
+            for depth in range(3):
+                step = _build_overlap_step(
+                    mesh, config, pairs, recv_cap, ragged_caps, depth)
+                sk, sr, over, totals = step(
+                    keys, rids if pairs else dummy, bounds, sample)
+                if not int(jax.device_get(over)[0]):
+                    break
+            else:
+                sk = None       # capacity exhausted: sequential path
+            timer.sync(sk if sk is not None else bounds)
+        if sk is not None:
+            return DSortResult(
+                keys=sk.reshape(S, -1),
+                rids=sr.reshape(S, -1) if pairs else None,
+                counts=totals.reshape(S),
+                overflow=jnp.zeros((), jnp.bool_),
+                times=timer.report(),
             )
 
     _, _, exchange = _build_steps(

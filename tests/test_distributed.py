@@ -1,5 +1,7 @@
 """Distributed sort over the 8-virtual-device CPU mesh (SURVEY.md §4d)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,3 +152,46 @@ def test_ragged_exchange_pairs():
     order = np.lexsort((np.asarray(rids), np.asarray(keys)))
     assert np.array_equal(got_k, np.asarray(keys)[order])
     assert np.array_equal(got_r, np.asarray(rids)[order])
+
+
+def test_overlap_exchange_fused_path():
+    """overlap_exchange=True: ONE fused program runs the ragged
+    exchange with the per-round L1 hist accumulation and the v4 local
+    pipeline (hist injected, bounds from the global sample window) —
+    must match the sequential path bitwise, including under skew and
+    with payloads (SURVEY §2.6 item 4 exchange/compute overlap)."""
+    mesh = _mesh()
+    n = 1 << 15
+    rng = np.random.default_rng(11)
+    # skewed: half the keys in the top 1/16 of the space
+    hot = rng.integers(0xF0000000, 0xFFFFFFFF, n // 2, dtype=np.uint32)
+    cold = rng.integers(0, 2**32, n - n // 2, dtype=np.uint32)
+    keys = np.concatenate([hot, cold])
+    rng.shuffle(keys)
+    rids = np.arange(n, dtype=np.uint32)
+    cfg = SortConfig(interpret=True, v3_sort_rows=32, v3_rmax=8,
+                     v3_cap_rows=32, overlap_exchange=True)
+    res = dsort.distributed_sort(jnp.asarray(keys), jnp.asarray(rids),
+                                 mesh=mesh, config=cfg)
+    got_k = dsort.gather_sorted(res)
+    got_r = dsort.gather_rids(res)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_k, keys[order])
+    # permutation integrity: keys[rids] == sorted keys
+    np.testing.assert_array_equal(keys[got_r], got_k)
+    dsort.check_distributed(res)
+
+
+def test_overlap_exchange_keys_only_matches_sequential():
+    mesh = _mesh()
+    n = 1 << 14
+    keys = dist.make("dup_heavy", jax.random.key(3), n,
+                     dtype=jnp.uint32)
+    base = SortConfig(interpret=True, v3_sort_rows=32, v3_rmax=8,
+                      v3_cap_rows=32)
+    res_seq = dsort.distributed_sort(
+        keys, mesh=mesh, config=base, local_engine="v4")
+    cfg = dataclasses.replace(base, overlap_exchange=True)
+    res_ov = dsort.distributed_sort(keys, mesh=mesh, config=cfg)
+    np.testing.assert_array_equal(
+        dsort.gather_sorted(res_ov), dsort.gather_sorted(res_seq))

@@ -235,8 +235,10 @@ def test_v5_u64_two_planes(rng):
 def test_v5_retry_is_lossless(rng):
     # adversarial: a heavy key value in PAIRS mode cannot be isolated
     # (payload must ride), so its terminal bucket overflows every retry
-    # and the ladder ends in the XLA fallback — exercising the lossless
-    # compact-retry path (post-L1 W is re-extracted, nothing dropped)
+    # — exercising the lossless compact-retry path (post-L1 W is
+    # re-extracted, nothing dropped) and, since r5, the deep-key tier
+    # (ops/deep.py) instead of a whole-array XLA fallback
+    from inplacemsdradixsort_tpu.ops import engine_v4 as e4
     n = 4 * BLK
     keys = np.concatenate([
         np.full(n // 2, 7, np.uint32),
@@ -245,6 +247,48 @@ def test_v5_retry_is_lossless(rng):
     rng.shuffle(keys)
     rids = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     order = np.lexsort((rids, keys))
+    e4.reset_fallback_stats()
     out_k, out_v = sort_v5(jnp.asarray(keys), (jnp.asarray(rids),), CFG)
     np.testing.assert_array_equal(np.asarray(out_k), keys[order])
     np.testing.assert_array_equal(np.asarray(out_v[0]), rids[order])
+    assert e4.FALLBACK_STATS["overflow"] == 0
+
+
+def test_v5_from_chunks_exact_and_raw(rng):
+    """The resident >half-HBM delivery path (sort_v5_from_chunks): W is
+    assembled chunk by chunk; raw=True must return the sorted planes in
+    2D (w_rows, 128) uint32 form whose row-major prefix of n elements
+    equals the exact extraction (the 2^31 zero-copy contract — a 1D
+    reshape would retile + copy, engine_v5._step_extract_raw)."""
+    n = 3 * BLK + 640
+    csz = BLK
+    chunks = [rng.integers(0, 2**32, min(csz, n - i * csz),
+                           dtype=np.uint32)
+              for i in range((n + csz - 1) // csz)]
+    allk = np.concatenate(chunks)
+    ref = np.sort(allk)
+    rids = [c.copy() for c in chunks]            # rids == keys trick
+
+    def chunk_fn(i):
+        return (jnp.asarray(chunks[i]), jnp.asarray(rids[i]))
+
+    ok, vo = engine_v5.sort_v5_from_chunks(
+        chunk_fn, len(chunks), n, CFG)
+    np.testing.assert_array_equal(np.asarray(ok), ref)
+    np.testing.assert_array_equal(np.asarray(vo[0]), ref)
+
+    ok2, vo2 = engine_v5.sort_v5_from_chunks(
+        chunk_fn, len(chunks), n, CFG, raw=True)
+    assert ok2.ndim == 2 and ok2.shape[1] == LANES
+    assert ok2.dtype == jnp.int32      # raw bit patterns (zero-copy)
+    got = np.asarray(ok2).reshape(-1).view(np.uint32)[:n]
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(
+        np.asarray(vo2[0]).reshape(-1).view(np.uint32)[:n], ref)
+    # the slab verifier agrees (the 2^31 validation path)
+    from inplacemsdradixsort_tpu.utils.checking import raw_check_2d
+    import jax
+    s, srt, pay = raw_check_2d(ok2, n, vo2[0], slab_rows=64)
+    assert bool(jax.device_get(srt)) and bool(jax.device_get(pay))
+    assert (int(jax.device_get(s)) % 2**32
+            == int(allk.astype(np.uint64).sum()) % 2**32)

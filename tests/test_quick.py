@@ -19,7 +19,7 @@ TINY = dict(interpret=True, min_engine_n=1, v3_sort_rows=64, v3_rmax=8,
             v3_cap_rows=64)
 
 
-def _keys(n=40_000, seed=0):
+def _keys(n=16_384, seed=0):
     rng = np.random.default_rng(seed)
     return rng.integers(0, 2**32, n, dtype=np.uint32)
 
@@ -41,20 +41,15 @@ def test_quick_v5():
     assert np.array_equal(np.asarray(out), np.sort(x))
 
 
-def test_quick_lsb():
-    from inplacemsdradixsort_tpu.ops.engine_lsb import sort_lsb
-    x = _keys(30_000, seed=2)
-    # digit mode needs sort_rows > 2^lsb_digit_bits run slots
-    cfg = SortConfig(interpret=True, min_engine_n=1, v3_sort_rows=512,
-                     v3_cap_rows=64, lsb_digit_bits=8)
-    out, _ = sort_lsb(jnp.asarray(x), (), cfg)
-    assert np.array_equal(np.asarray(out), np.sort(x))
+# NOTE: no LSB case here — the digit-mode route interprets a 256-wide
+# unrolled kernel body per grid step, ~2 min on this box regardless of n,
+# which busts the <60 s quick budget.  LSB coverage: tests/test_engine_lsb.py.
 
 
 def test_quick_chunked():
     from inplacemsdradixsort_tpu.ops.chunked import sort_external
     rng = np.random.default_rng(3)
-    nchunks, csz = 2, 20_480
+    nchunks, csz = 2, 4_096
     chunks = [rng.integers(0, 2**32, csz, dtype=np.uint32)
               for _ in range(nchunks)]
     cfg = SortConfig(**TINY)
