@@ -97,18 +97,40 @@ int main(int argc, char **argv) {
     uint64_t *size = malloc(numa_nodes * sizeof(uint64_t));
     rand64_t *gen = rand64_init(42);
     uint64_t checksum_in = 0;
+    /* REF_INPUT=<path>: read the key multiset from a binary u64 file
+     * (e.g. a Zipfian stream dumped by the TPU-side generator) instead
+     * of the built-in MT19937-64 stream — the skewed-input parity row
+     * of BASELINE config 1. */
+    const char *inpath = getenv("REF_INPUT");
+    FILE *inf = NULL;
+    if (inpath) {
+        inf = fopen(inpath, "rb");
+        if (!inf) { perror(inpath); return 2; }
+    }
     for (int nnode = 0; nnode < numa_nodes; ++nnode) {
         size[nnode] = total / numa_nodes;
         size_t cap = (size_t)(size[nnode] * fudge) + 4096;
         keys[nnode] = mamalloc(cap * sizeof(uint64_t));
         rids[nnode] = mamalloc(cap * sizeof(uint64_t));
-        for (uint64_t i = 0; i < size[nnode]; ++i) {
+        if (inf) {
+            size_t got = fread(keys[nnode], sizeof(uint64_t),
+                               size[nnode], inf);
+            if (got != size[nnode]) {
+                fprintf(stderr, "short read from %s\n", inpath);
+                return 2;
+            }
+            for (uint64_t i = 0; i < size[nnode]; ++i) {
+                rids[nnode][i] = keys[nnode][i];
+                checksum_in += keys[nnode][i];
+            }
+        } else for (uint64_t i = 0; i < size[nnode]; ++i) {
             uint64_t k = rand64_next(gen);
             keys[nnode][i] = k;
             rids[nnode][i] = k; /* check(same=1) mode, msb_64.c:2461 */
             checksum_in += k;
         }
     }
+    if (inf) fclose(inf);
 
     char *desc[16];
     uint64_t times[16];

@@ -56,6 +56,28 @@ NBQ = 256                 # quantile candidates (4x the ~32 bucket target)
 MAX_DEEP_DEPTH = 3
 
 
+NRUNS_MAX = 12288         # splice scalar-prefetch budget: nruns*8 i32
+                          # rows must stay well under the 1 MiB SMEM
+                          # (the 2^27 zipf parity cell aborted the TPU
+                          # compiler with a 3.4 MB prefetched operand)
+
+
+def _deep_geometry(n: int, sort_rows: int):
+    """Pick (sort_rows, rmax) for the one-wide deep level so the
+    (bucket, tile) splice table fits the SMEM prefetch budget: grow the
+    tile (fewer tiles) first, then shed level width (wider buckets just
+    re-enter the engine on a strictly smaller slice)."""
+    rows = max(_ceil_div(n, LANES), 1)
+    while True:
+        rmax = min(RMAX, sort_rows // 2)
+        ntiles = _ceil_div(rows, sort_rows - rmax)
+        if ntiles * rmax <= NRUNS_MAX or sort_rows >= 8192:
+            break
+        sort_rows *= 2
+    rmax = min(rmax, max(NRUNS_MAX // ntiles, 8))
+    return sort_rows, rmax
+
+
 def _deep_bounds(stats: np.ndarray, S: int, rmax: int):
     """<= rmax inclusive-upper bounds with heavy plane-0 values isolated
     as single-value buckets.  Thins non-essential bounds if the set
@@ -158,8 +180,7 @@ def deep_sort(
     planes = (keys,) + tuple(vals)
     interp = cfg.interpret
 
-    sort_rows = cfg.v3_sort_rows
-    rmax = min(RMAX, sort_rows // 2)
+    sort_rows, rmax = _deep_geometry(n, cfg.v3_sort_rows)
     if cfg.interpret:
         # interpreter mode pays python per unrolled kernel lane: a
         # 96-wide level is minutes of tracing on the CPU suite; a

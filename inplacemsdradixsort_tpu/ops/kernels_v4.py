@@ -879,9 +879,13 @@ def _splice_body(
         nfull = (phase + real) // LANES
         rem = (phase + real) % LANES
         nch = (nfull + LCH - 1) // LCH
-        lane = lax.broadcasted_iota(jnp.int32, (LCH + 1, LANES), 1)
-        rot_idx = (lane - phase) % LANES
+        lanef = lax.broadcasted_iota(jnp.int32, (LCH + 1, LANES), 1)
 
+        # NB: the (LCH+1)-row window has an unaligned sublane count; the
+        # Mosaic pipeline compiles dynamic-shift ``pltpu.roll`` and
+        # PREFIX slices of such values, but aborts (jellyfish CHECK,
+        # array.h limits<=dim) on dynamic gathers and on selects mixing
+        # the [1:] / [:-1] offset slices — hence roll-then-prefix-slice.
         def chunk(i, _):
             # wait the previous chunk's stores before reusing obuf
             @pl.when(i >= 1)
@@ -892,18 +896,19 @@ def _splice_body(
                 # buf row j holds element row j-1; window covers
                 # element rows [i*LCH - 1, i*LCH + LCH)
                 win = bufs[p][slot, pl.ds(i * LCH, LCH + 1), :]
-                rolled = jnp.take_along_axis(win, rot_idx, axis=1)
-                main = jnp.where(
-                    lane[1:] >= phase, rolled[1:], rolled[:-1]
-                )
+                rolled = pltpu.roll(win, phase, 1)      # lane rotation
+                up = pltpu.roll(rolled, LCH, 0)         # up[j] = rolled[j+1]
+                mainf = jnp.where(lanef >= phase, up, rolled)
+                main = mainf[:LCH]
                 head = jnp.where(
-                    (i == 0) & (lane[0:1] < phase),
-                    tails[p][:], main[0:1],
+                    (i == 0) & (lanef[0:1] < phase),
+                    tails[p][:], mainf[0:1],
                 )
-                main = jnp.concatenate([head, main[1:]], axis=0)
                 if unbias_output:
                     main = main ^ BIAS
+                    head = head ^ BIAS
                 obufs[p][...] = main
+                obufs[p][pl.ds(0, 1), :] = head
                 pltpu.make_async_copy(
                     obufs[p].at[pl.ds(0, LCH), :],
                     outs[p].at[pl.ds(q0 + i * LCH, LCH), :],
@@ -917,9 +922,10 @@ def _splice_body(
         def _():
             for p in range(nplanes):
                 wt2 = bufs[p][slot, pl.ds(nfull, 2), :]
-                rolledt = jnp.take_along_axis(wt2, rot_idx1, axis=1)
+                rolledt = pltpu.roll(wt2, phase, 1)
+                upt = pltpu.roll(rolledt, 1, 0)         # upt[0] = rolledt[1]
                 tcand = jnp.where(
-                    lane1 >= phase, rolledt[1:2], rolledt[0:1]
+                    lane1 >= phase, upt[0:1], rolledt[0:1]
                 )
                 tcand = jnp.where(
                     (nfull == 0) & (lane1 < phase), tails[p][:], tcand
